@@ -1,0 +1,282 @@
+"""MixSTE2 spatio-temporal transformer denoiser — functional JAX.
+
+Re-design of the reference backbone (``/root/reference/common/mixste.py:141-298``)
+for TPU:
+
+* **Pure functions + explicit param pytrees.**  ``init_mixste`` builds the
+  parameter tree, ``mixste_forward`` applies it.  The tree's key structure
+  mirrors the torch module names (``STEblocks.3.attn.qkv`` ...), making the
+  torch->JAX checkpoint converter (:mod:`pafuse_tpu.checkpoints`) a
+  mechanical rename + transpose.
+* **Rank-4 core.**  The torch code branches on train/eval rank and folds the
+  hypothesis axis into the batch with einops rearranges
+  (mixste.py:213-245, 278-298).  Here the core always consumes
+  ``(B, F, N, C)``; the diffusion wrapper folds ``(B, H)`` into ``B``.
+  Attention operates on the last two axes directly (batched over all leading
+  dims) so the spatial/temporal alternation is a transpose, not a reshape —
+  XLA fuses these away.
+* **MXU-friendly compute.**  All matmuls carry
+  ``preferred_element_type=float32`` and the whole block can run in bfloat16
+  activations via ``compute_dtype``; an optional fused Pallas attention
+  kernel is plugged in through :mod:`pafuse_tpu.ops.attention`.
+
+Architecture parity notes (checked against the reference):
+  - pre-LN blocks, LayerNorm eps=1e-6 for block/Spatial/Temporal norms
+    (mixste.py:163), but the regression head's LayerNorm uses torch's
+    default eps=1e-5 (mixste.py:207-210);
+  - qkv packed as one Linear(dim, 3*dim, bias=True), scale=head_dim**-0.5;
+  - learned spatial+temporal position embeddings initialized to zeros;
+  - sinusoidal timestep embedding -> Linear -> GELU -> Linear
+    (mixste.py:127-139, 179-184), added per token;
+  - stochastic depth with per-block rates linspace(0, drop_path_rate, depth).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class MixSTEConfig:
+    num_frames: int = 27
+    num_joints: int = 24
+    in_chans: int = 5
+    embed_dim: int = 384
+    depth: int = 8
+    num_heads: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    out_dim: int = 3
+
+    @property
+    def drop_path_rates(self) -> np.ndarray:
+        return np.linspace(0.0, self.drop_path_rate, self.depth)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (torch nn.Linear / nn.LayerNorm defaults)
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, fan_in: int, fan_out: int, bias: bool = True) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    p: Params = {"kernel": jax.random.uniform(
+        kw, (fan_in, fan_out), jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def _layernorm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _block_init(key, dim: int, mlp_ratio: float) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    hidden = int(dim * mlp_ratio)
+    return {
+        "norm1": _layernorm_init(dim),
+        "attn": {
+            "qkv": _linear_init(k1, dim, dim * 3),
+            "proj": _linear_init(k2, dim, dim),
+        },
+        "norm2": _layernorm_init(dim),
+        "mlp": {
+            "fc1": _linear_init(k3, dim, hidden),
+            "fc2": _linear_init(k4, hidden, dim),
+        },
+    }
+
+
+def init_mixste(key, cfg: MixSTEConfig) -> Params:
+    keys = jax.random.split(key, 4 + 2 * cfg.depth)
+    params: Params = {
+        "Spatial_patch_to_embedding": _linear_init(keys[0], cfg.in_chans, cfg.embed_dim),
+        "Spatial_pos_embed": jnp.zeros((1, cfg.num_joints, cfg.embed_dim), jnp.float32),
+        "Temporal_pos_embed": jnp.zeros((1, cfg.num_frames, cfg.embed_dim), jnp.float32),
+        "time_mlp": {
+            "fc1": _linear_init(keys[1], cfg.embed_dim, cfg.embed_dim * 2),
+            "fc2": _linear_init(keys[2], cfg.embed_dim * 2, cfg.embed_dim),
+        },
+        "STEblocks": [
+            _block_init(keys[4 + i], cfg.embed_dim, cfg.mlp_ratio)
+            for i in range(cfg.depth)
+        ],
+        "TTEblocks": [
+            _block_init(keys[4 + cfg.depth + i], cfg.embed_dim, cfg.mlp_ratio)
+            for i in range(cfg.depth)
+        ],
+        "Spatial_norm": _layernorm_init(cfg.embed_dim),
+        "Temporal_norm": _layernorm_init(cfg.embed_dim),
+        "head": {
+            "norm": _layernorm_init(cfg.embed_dim),
+            "fc": _linear_init(keys[3], cfg.embed_dim, cfg.out_dim),
+        },
+    }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward building blocks
+# ---------------------------------------------------------------------------
+
+def _linear(p: Params, x, compute_dtype):
+    kernel = p["kernel"].astype(compute_dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(compute_dtype)
+
+
+def _layernorm(p: Params, x, eps: float = 1e-6):
+    # LayerNorm statistics in float32 for stability regardless of compute dtype.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def _attention(p: Params, x, num_heads: int, compute_dtype):
+    """Multi-head self-attention over the -2 axis of ``(..., L, C)``."""
+    *lead, L, C = x.shape
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+
+    qkv = _linear(p["qkv"], x, compute_dtype)                  # (..., L, 3C)
+    qkv = qkv.reshape(*lead, L, 3, num_heads, head_dim)
+    q = jnp.moveaxis(qkv[..., 0, :, :], -2, -3)                 # (..., H, L, d)
+    k = jnp.moveaxis(qkv[..., 1, :, :], -2, -3)
+    v = jnp.moveaxis(qkv[..., 2, :, :], -2, -3)
+
+    attn = jnp.einsum("...ld,...md->...lm", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(compute_dtype)
+    out = jnp.einsum("...lm,...md->...ld", attn, v,
+                     preferred_element_type=jnp.float32).astype(compute_dtype)
+    out = jnp.moveaxis(out, -3, -2).reshape(*lead, L, C)
+    return _linear(p["proj"], out, compute_dtype)
+
+
+def _mlp(p: Params, x, compute_dtype):
+    h = _linear(p["fc1"], x, compute_dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return _linear(p["fc2"], h, compute_dtype)
+
+
+def _drop_path(x, rate: float, rng, batch_ndim: int):
+    """Stochastic depth: drop the residual branch per leading-batch sample."""
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = x.shape[:batch_ndim] + (1,) * (x.ndim - batch_ndim)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
+def _block(p: Params, x, num_heads: int, compute_dtype,
+           drop_path_rate: float = 0.0, rng=None, batch_ndim: int = 1,
+           attention_fn=None):
+    attn_fn = attention_fn or _attention
+    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    h = attn_fn(p["attn"], _layernorm(p["norm1"], x), num_heads, compute_dtype)
+    x = x + _drop_path(h, drop_path_rate, r1, batch_ndim)
+    h = _mlp(p["mlp"], _layernorm(p["norm2"], x), compute_dtype)
+    x = x + _drop_path(h, drop_path_rate, r2, batch_ndim)
+    return x
+
+
+def sinusoidal_time_embedding(t, dim: int):
+    """mixste.py:127-139 — sin/cos positional embedding of diffusion step."""
+    half = dim // 2
+    freq = math.log(10000.0) / (half - 1)
+    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -freq)
+    emb = t.astype(jnp.float32)[:, None] * emb[None, :]
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
+                   train: bool = False, rng=None,
+                   compute_dtype=jnp.float32, attention_fn=None,
+                   remat: bool = False):
+    """Denoise one window.
+
+    Args:
+      x2d: (B, F, N, 2) conditioning 2D keypoints.
+      x3d: (B, F, N, 3) noisy 3D pose.
+      t:   (B,) integer diffusion timestep.
+    Returns:
+      (B, F, N, 3) predicted x0.
+    """
+    B, F, N, _ = x2d.shape
+    x = jnp.concatenate([x2d, x3d], axis=-1).astype(compute_dtype)
+
+    # Spatial embedding + positional + timestep embeddings (mixste.py:213-235).
+    x = _linear(params["Spatial_patch_to_embedding"], x, compute_dtype)
+    x = x + params["Spatial_pos_embed"][None].astype(compute_dtype)
+
+    te = sinusoidal_time_embedding(t, cfg.embed_dim)
+    te = _linear(params["time_mlp"]["fc1"], te.astype(compute_dtype), compute_dtype)
+    te = jax.nn.gelu(te, approximate=False)
+    te = _linear(params["time_mlp"]["fc2"], te, compute_dtype)
+    x = x + te[:, None, None, :]
+
+    dprs = cfg.drop_path_rates if train else np.zeros(cfg.depth)
+    rngs = (list(jax.random.split(rng, 2 * cfg.depth))
+            if (train and rng is not None) else [None] * (2 * cfg.depth))
+
+    def ste(i, x_bfnc):
+        # spatial attention: tokens = joints
+        return _layernorm(
+            params["Spatial_norm"],
+            _block(params["STEblocks"][i], x_bfnc, cfg.num_heads, compute_dtype,
+                   float(dprs[i]), rngs[2 * i], batch_ndim=1,
+                   attention_fn=attention_fn))
+
+    def tte(i, x_bfnc):
+        # temporal attention: tokens = frames; transpose instead of reshape.
+        x_bnfc = jnp.swapaxes(x_bfnc, 1, 2)
+        y = _block(params["TTEblocks"][i], x_bnfc, cfg.num_heads, compute_dtype,
+                   float(dprs[i]), rngs[2 * i + 1], batch_ndim=1,
+                   attention_fn=attention_fn)
+        y = _layernorm(params["Temporal_norm"], y)
+        return jnp.swapaxes(y, 1, 2)
+
+    def layer(i, x):
+        x = ste(i, x)
+        if i == 0:
+            x = x + params["Temporal_pos_embed"][None, None].astype(compute_dtype)
+            # (reference adds the temporal pos embed inside TTE_foward before
+            #  the first temporal block only, mixste.py:247-251)
+        return tte(i, x)
+
+    layer_fn = jax.checkpoint(layer, static_argnums=(0,)) if remat else layer
+    for i in range(cfg.depth):
+        x = layer_fn(i, x)
+
+    # Regression head (LayerNorm eps=1e-5 — torch default — then Linear->3).
+    x = _layernorm(params["head"]["norm"], x, eps=1e-5)
+    x = _linear(params["head"]["fc"], x, jnp.float32)
+    return x.astype(jnp.float32)

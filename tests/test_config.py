@@ -1,0 +1,54 @@
+"""Config system: YAML load, dotted access, hydra-style overrides."""
+
+from pafuse_tpu import config as cfg_mod
+
+
+def test_default_config_loads():
+    cfg = cfg_mod.load_config()
+    assert cfg.model.number_of_frames == 27
+    assert cfg.data.num_kps == 134
+    assert cfg.ft2d.timestep == 1000
+    assert cfg.general.part_based_model is True
+    assert cfg.data.merge_hands is True
+
+
+def test_overrides():
+    cfg = cfg_mod.load_config(overrides=[
+        "ft2d.num_proposals=20", "ft2d.sampling_timesteps=10",
+        "model.batch_size=64", "general.evaluate=best_epoch.bin",
+        "tpu.compute_dtype=bfloat16",
+    ])
+    assert cfg.ft2d.num_proposals == 20
+    assert cfg.ft2d.sampling_timesteps == 10
+    assert cfg.model.batch_size == 64
+    assert cfg.general.evaluate == "best_epoch.bin"
+    assert cfg.tpu.compute_dtype == "bfloat16"
+
+
+def test_override_types():
+    cfg = cfg_mod.load_config(overrides=[
+        "experiment.subset=0.5", "general.nolog=true", "data.actions=Walking,Sitting"])
+    assert cfg.experiment.subset == 0.5
+    assert cfg.general.nolog is True
+    assert cfg.data.actions == "Walking,Sitting"
+
+
+def test_flatten_and_yaml():
+    cfg = cfg_mod.load_config()
+    flat = cfg_mod.flatten(cfg)
+    assert flat["model.number_of_frames"] == 27
+    text = cfg_mod.to_yaml(cfg)
+    assert "number_of_frames" in text
+
+
+def test_parse_cli():
+    cfg = cfg_mod.parse_cli(["ft2d.debug=true", "model.epochs=2"])
+    assert cfg.ft2d.debug is True
+    assert cfg.model.epochs == 2
+
+
+def test_copy_is_independent():
+    cfg = cfg_mod.load_config()
+    cfg2 = cfg.copy()
+    cfg2.model.epochs = 1
+    assert cfg.model.epochs == 400
