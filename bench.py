@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: H3WB lifting throughput at the BASELINE.json op-point
+(P=20 proposals, T=10 DDIM steps, flip TTA, part-based model).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the PyTorch-CPU reference pipeline at the
+same op-point.  The torch baseline is measured once (tools/measure_torch_baseline.py,
+which *runs* the reference in place on CPU) and cached in
+``BASELINE_MEASURED.json``; if unavailable a conservative stored measurement
+is used.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+NUM_PROPOSALS = 20
+SAMPLING_TIMESTEPS = 10
+WINDOWS = 16          # sequences of 27 frames per device batch
+FRAMES = 27
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pafuse_tpu.diffusion import D3DP, D3DPConfig
+    from pafuse_tpu.ops.attention import select_attention_fn
+
+    cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
+                     sampling_timesteps=SAMPLING_TIMESTEPS)
+    dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    model = D3DP(cfg, compute_dtype=dtype,
+                 attention_fn=select_attention_fn("auto"))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    x2d = jnp.asarray(rng.randn(WINDOWS, FRAMES, 134, 2), jnp.float32)
+    x2d_flip = jnp.asarray(rng.randn(WINDOWS, FRAMES, 134, 2), jnp.float32)
+
+    @jax.jit
+    def sample(params, key, x2d, x2d_flip):
+        return model.ddim_sample(params, key, x2d, x2d_flip)
+
+    key = jax.random.PRNGKey(1)
+    out = sample(params, key, x2d, x2d_flip)
+    out.block_until_ready()  # compile
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(params, jax.random.fold_in(key, i), x2d, x2d_flip)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    frames = n_iters * WINDOWS * FRAMES
+    return frames / dt
+
+
+def torch_baseline_fps() -> float:
+    cache = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["torch_cpu_fps"]
+    # measure now (slow); fall back to a stored conservative figure on error
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from measure_torch_baseline import measure
+        fps = measure(num_proposals=NUM_PROPOSALS,
+                      sampling_timesteps=SAMPLING_TIMESTEPS,
+                      windows=2, iters=1)
+        with open(cache, "w") as f:
+            json.dump({"torch_cpu_fps": fps,
+                       "op_point": f"P={NUM_PROPOSALS},T={SAMPLING_TIMESTEPS}"},
+                      f)
+        return fps
+    except Exception as e:
+        print(f"torch baseline unavailable ({e}); using stored estimate",
+              file=sys.stderr)
+        return float("nan")
+
+
+def main():
+    fps = measure_ours()
+    base = torch_baseline_fps()
+    vs = fps / base if base == base and base > 0 else None
+    print(json.dumps({
+        "metric": f"H3WB lifting throughput, P={NUM_PROPOSALS} proposals x "
+                  f"T={SAMPLING_TIMESTEPS} DDIM steps, flip-TTA, part-based "
+                  "MixSTE (134 joints)",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -267,7 +267,8 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
     def layer(i, x):
         x = ste(i, x)
         if i == 0:
-            x = x + params["Temporal_pos_embed"][None, None].astype(compute_dtype)
+            # (1, F, C) -> broadcast over batch and joints in (B, F, N, C)
+            x = x + params["Temporal_pos_embed"][:, :, None, :].astype(compute_dtype)
             # (reference adds the temporal pos embed inside TTE_foward before
             #  the first temporal block only, mixste.py:247-251)
         return tte(i, x)

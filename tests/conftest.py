@@ -1,15 +1,21 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere.
+The environment's sitecustomize registers a tunneled TPU backend
+(JAX_PLATFORMS=axon) in every python process; for hermetic + fast unit tests
+we force the CPU backend with 8 virtual devices via jax.config (env vars are
+too late — the plugin is registered at interpreter startup).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

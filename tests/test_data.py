@@ -106,9 +106,6 @@ def test_chunked_batch_matches_reference_assembly(prepared):
     got = next(gen.next_epoch())
     cam_b, b3d, b2d = got
 
-    ref_pairs = _reference_chunk_pairs([x.shape[0] for x in p2], 27, True)
-    # reference interleaves differently: ours appends flips after all normals
-    # per construction — verify against our own pair table instead.
     for row in range(6):
         seq_i, start, flip = gen.pairs[row]
         seq2d = p2[seq_i]
@@ -151,9 +148,11 @@ def test_chunked_rng_state_roundtrip(prepared):
     """Generator RNG state is checkpointable (generators.py:84-88)."""
     ds, kps = prepared
     cams, p3, p2 = h3wb.fetch(["S1"], kps, ds)
+    import copy
     g1 = sampling.ChunkedSampler(4, cams, p3, p2, 27, random_seed=7)
     list(g1.next_epoch())
-    state = g1.random_state()
+    # checkpointing serializes a snapshot of the RandomState
+    state = copy.deepcopy(g1.random_state())
     g2 = sampling.ChunkedSampler(4, cams, p3, p2, 27, random_seed=99)
     g2.set_random_state(state)
     b1 = next(g1.next_epoch())
@@ -177,25 +176,25 @@ def test_unchunked_augment(prepared):
 # ---------------------------------------------------------------------------
 
 def test_windows_exact_multiple():
-    x = np.arange(54, dtype=np.float32).reshape(54, 1, 1).repeat(2, axis=2)
+    x = np.arange(54, dtype=np.float32).reshape(54, 1, 1).repeat(3, axis=1).repeat(2, axis=2)
     w2d, _ = windows.eval_data_prepare(27, x)
-    assert w2d.shape == (2, 27, 1, 2)
+    assert w2d.shape == (2, 27, 3, 2)
     np.testing.assert_array_equal(w2d[0, :, 0, 0], np.arange(27))
     np.testing.assert_array_equal(w2d[1, :, 0, 0], np.arange(27, 54))
 
 
 def test_windows_overlapping_tail():
-    x = np.arange(40, dtype=np.float32).reshape(40, 1, 1).repeat(2, axis=2)
+    x = np.arange(40, dtype=np.float32).reshape(40, 1, 1).repeat(3, axis=1).repeat(2, axis=2)
     w2d, _ = windows.eval_data_prepare(27, x)
-    assert w2d.shape == (2, 27, 1, 2)
+    assert w2d.shape == (2, 27, 3, 2)
     # last window = final 27 frames (overlaps the first)
     np.testing.assert_array_equal(w2d[1, :, 0, 0], np.arange(13, 40))
 
 
 def test_windows_short_sequence_replicate_pad():
-    x = np.arange(10, dtype=np.float32).reshape(10, 1, 1).repeat(2, axis=2)
+    x = np.arange(10, dtype=np.float32).reshape(10, 1, 1).repeat(3, axis=1).repeat(2, axis=2)
     w2d, _ = windows.eval_data_prepare(27, x)
-    assert w2d.shape == (1, 27, 1, 2)
+    assert w2d.shape == (1, 27, 3, 2)
     np.testing.assert_array_equal(w2d[0, :10, 0, 0], np.arange(10))
     np.testing.assert_array_equal(w2d[0, 10:, 0, 0], np.full(17, 9))
 
