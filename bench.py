@@ -22,7 +22,10 @@ sys.path.insert(0, REPO)
 
 NUM_PROPOSALS = 20
 SAMPLING_TIMESTEPS = 10
-WINDOWS = 16          # sequences of 27 frames per device batch
+# 4 windows x 20 proposals x 2 flip orientations x 27 frames = 4320 token
+# rows per denoiser call — fits v5e HBM (16 windows OOMs: the padded
+# per-head attention logits dominate at ~5x lane-padding expansion).
+WINDOWS = 4
 FRAMES = 27
 
 
@@ -36,8 +39,14 @@ def measure_ours() -> float:
     cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
                      sampling_timesteps=SAMPLING_TIMESTEPS)
     dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    # XLA attention: the fused Pallas kernel wins per-op (~1.26x) but its
+    # 6 shape-specialized kernels take many minutes through this
+    # environment's remote-compile tunnel; the XLA path compiles in ~40s
+    # and hits the same steady-state throughput at this op-point.
+    # Set PAFUSE_BENCH_PALLAS=1 to bench the Pallas path.
+    use = "auto" if os.environ.get("PAFUSE_BENCH_PALLAS") == "1" else "false"
     model = D3DP(cfg, compute_dtype=dtype,
-                 attention_fn=select_attention_fn("auto"))
+                 attention_fn=select_attention_fn(use))
     params = model.init_params(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -67,16 +76,21 @@ def torch_baseline_fps() -> float:
     if os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)["torch_cpu_fps"]
-    # measure now (slow); fall back to a stored conservative figure on error
+    # Measure at a tiny op-point and scale: the reference's DDIM cost is
+    # linear in P*T (proposals ride the batch; one denoiser pass per step
+    # per flip orientation).  A direct P=20,T=10 torch-CPU call takes >10
+    # minutes, so we measure P=4,T=1 and divide.
     try:
         sys.path.insert(0, os.path.join(REPO, "tools"))
         from measure_torch_baseline import measure
-        fps = measure(num_proposals=NUM_PROPOSALS,
-                      sampling_timesteps=SAMPLING_TIMESTEPS,
-                      windows=2, iters=1)
+        p0, t0 = 4, 1
+        fps_small = measure(num_proposals=p0, sampling_timesteps=t0,
+                            windows=1, iters=1)
+        fps = fps_small * (p0 * t0) / (NUM_PROPOSALS * SAMPLING_TIMESTEPS)
         with open(cache, "w") as f:
             json.dump({"torch_cpu_fps": fps,
-                       "op_point": f"P={NUM_PROPOSALS},T={SAMPLING_TIMESTEPS}"},
+                       "op_point": f"P={NUM_PROPOSALS},T={SAMPLING_TIMESTEPS} "
+                                   f"(scaled linearly from P={p0},T={t0})"},
                       f)
         return fps
     except Exception as e:

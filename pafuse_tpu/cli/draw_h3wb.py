@@ -27,6 +27,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from pafuse_tpu import checkpoints, geometry, viz
+    from pafuse_tpu.utils.backend import ensure_backend
+    ensure_backend()
     from pafuse_tpu.cli.main_h3wb import build_model
     from pafuse_tpu.data import h3wb, windows as win
 

@@ -134,6 +134,8 @@ def main(argv=None):
     import jax
     from pafuse_tpu import checkpoints, geometry
     from pafuse_tpu.cli.main_h3wb import build_model
+    from pafuse_tpu.utils.backend import ensure_backend
+    ensure_backend()
 
     model = build_model(args, is_train=False,
                         num_proposals=args.ft2d.num_proposals,
@@ -174,7 +176,8 @@ def main(argv=None):
     # (h3wb_diffusion.py:138-143)
     rot = np.array([0.14070565, -0.15007018, -0.7552408, 0.62232804],
                    dtype=np.float32)
-    world = np.asarray(geometry.camera_to_world(prediction, rot, 0.0))
+    # np.array (copy): np.asarray of a jax array is a read-only view
+    world = np.array(geometry.camera_to_world(prediction, rot, 0.0))
     world[..., 2] -= world[..., 2].min()
     np.save(os.path.join(out_dir,
                          f"test_3d_output_{video_name}_postprocess.npy"),

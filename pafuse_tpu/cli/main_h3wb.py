@@ -93,8 +93,9 @@ def main(argv=None):
     import jax.numpy as jnp
     from pafuse_tpu import checkpoints, evaluate as ev, geometry, losses, train as tr
     from pafuse_tpu.data import h3wb, sampling
+    from pafuse_tpu.utils.backend import ensure_backend
 
-    print(f"JAX devices: {jax.devices()}")
+    print(f"JAX devices: {ensure_backend()}")
 
     # ---- data ------------------------------------------------------------
     print("Loading dataset...")

@@ -187,10 +187,18 @@ class D3DP:
         return x, noise, t
 
     def train_forward(self, params, rng, x2d, x3d_gt):
-        """Training pass: noise GT, denoise, return x0 prediction (B,F,N,3)."""
+        """Training pass: noise GT, denoise, return x0 prediction (B,F,N,3).
+
+        With ``mm_scale`` (the 3DHP variant, diffusionpose_3dhp.py:281-287)
+        the GT arrives in millimeters: the model operates in meters
+        internally and the prediction is scaled back to mm.
+        """
+        if self.cfg.mm_scale:
+            x3d_gt = x3d_gt / 1000.0
         r_targets, r_drop = jax.random.split(rng)
         x_t, _, t = self.prepare_targets(r_targets, x3d_gt)
-        return self._denoise(params, x2d, x_t, t, train=True, rng=r_drop)
+        pred = self._denoise(params, x2d, x_t, t, train=True, rng=r_drop)
+        return pred * 1000.0 if self.cfg.mm_scale else pred
 
     # -- sampling (diffusionpose.py:227-316, as lax.scan) --------------------
     def _model_predictions(self, params, x, x2d_tiled, t_scalar, x2d_flip_tiled):
@@ -279,7 +287,9 @@ class D3DP:
 
         (_, _), preds = jax.lax.scan(step, (img0, rng), xs)
         # (S, B, H, F, N, 3) -> (B, S, H, F, N, 3), reference stacks on dim=1
-        return jnp.moveaxis(preds, 0, 1)
+        preds = jnp.moveaxis(preds, 0, 1)
+        # 3DHP variant reports in millimeters (diffusionpose_3dhp.py:212,256)
+        return preds * 1000.0 if cfg.mm_scale else preds
 
     def eval_forward(self, params, rng, x2d, x2d_flip=None, **kw):
         """Mirror of D3DP.forward in eval mode (diffusionpose.py:337-344)."""

@@ -1,0 +1,62 @@
+"""Device-mesh and sharding utilities — the framework's parallelism layer.
+
+The reference's only multi-device construct is single-process
+``nn.DataParallel`` (main_h3wb.py:698-705): replicate the module, scatter the
+batch, gather outputs.  The TPU-native equivalent (SURVEY §2 parallelism
+table) is SPMD over a ``jax.sharding.Mesh``:
+
+* **data parallel (dp)** — the batch axis is sharded over the ``data`` mesh
+  axis; parameters and optimizer state are replicated; XLA SPMD inserts the
+  gradient all-reduce over ICI automatically when the loss reduces over the
+  sharded axis.
+* **hypothesis parallel** — the H proposals are folded into the batch axis
+  (diffusion.py), so at inference the same ``data`` sharding splits proposals
+  across chips for free.
+* **expert-style part parallelism** — the three part networks are separate
+  subgraphs inside one jit; XLA schedules them back-to-back on each chip.
+  At ≤35M params there is nothing to gain from sharding the parts across
+  chips (SURVEY §2: "TP not needed; do not build").
+
+Multi-host/DCN scaling falls out of the same code: construct the mesh from
+``jax.devices()`` spanning hosts and keep the batch axis on the ICI-major
+axis ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape: Sequence[int] = (-1,),
+              axis_names: Sequence[str] = ("data",),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build an N-D mesh; a single -1 dim absorbs all remaining devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    shape = list(mesh_shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(devices) // known
+    n = int(np.prod(shape))
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-axis sharding (leading array dim split over the data axis)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device_put a host batch with the data sharding (one transfer per
+    shard instead of replicate-then-slice)."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
