@@ -103,7 +103,9 @@ def main(argv=None):
     keypoints = h3wb.prepare_data(dataset)
 
     subjects_train = args.data.subjects_train.split(",")
-    subjects_test = args.data.subjects_test.split(",")
+    # render mode evaluates the visualization subject (main_h3wb.py:653-656)
+    subjects_test = ([args.viz.viz_subject] if args.general.render
+                     else args.data.subjects_test.split(","))
     action_filter = (None if args.data.actions == "*"
                      else args.data.actions.split(","))
 
@@ -192,6 +194,7 @@ def main(argv=None):
 
         log_path = os.path.join(args.general.checkpoint, "training_log.txt")
         quickdebug = args.ft2d.debug
+        train_curve, valid_curve = [], []
 
         while epoch < args.model.epochs:
             start_time = time()
@@ -256,6 +259,25 @@ def main(argv=None):
                     random_state=train_gen.random_state())
                 with open(log_path, "a") as f:
                     f.write("best epoch\n")
+
+            # training-curve PNG export (main_h3wb.py:1073-1095)
+            train_curve.append(epoch_loss_mm)
+            valid_curve.append(val_mm)
+            if args.general.export_training_curves and epoch > 3:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                plt.figure()
+                epoch_x = np.arange(3, len(train_curve)) + 1
+                plt.plot(epoch_x, train_curve[3:], "--", color="C0")
+                plt.plot(epoch_x, valid_curve[3:], color="C1")
+                plt.legend(["3d train", "3d valid (eval)"])
+                plt.ylabel("MPJPE (mm)")
+                plt.xlabel("Epoch")
+                plt.xlim((3, epoch))
+                plt.savefig(os.path.join(args.general.checkpoint,
+                                         "loss_3d.png"))
+                plt.close("all")
             if quickdebug and epoch >= 1:
                 break
 

@@ -33,7 +33,7 @@ class ChunkedSampler:
                  chunk_length: int, shuffle: bool = True,
                  random_seed: int = 1234, augment: bool = False,
                  flip_permutation: Optional[np.ndarray] = None,
-                 endless: bool = False):
+                 endless: bool = False, use_native: str | bool = "auto"):
         assert poses_3d is None or len(poses_3d) == len(poses_2d)
         assert cameras is None or len(cameras) == len(poses_2d)
 
@@ -87,6 +87,16 @@ class ChunkedSampler:
 
         self.num_batches = (len(self.pairs) + batch_size - 1) // batch_size
 
+        # optional native (C++) assembly path — see pafuse_tpu.runtime
+        self._native = None
+        if use_native is True or str(use_native) == "auto":
+            try:
+                from pafuse_tpu import runtime
+                if runtime.get_library() is not None:
+                    self._native = runtime.assemble_batch
+            except Exception:
+                self._native = None
+
     # --- reference API parity (generators.py:78-101) ----------------------
     def num_frames(self) -> int:
         return self.num_batches * self.batch_size
@@ -121,19 +131,26 @@ class ChunkedSampler:
                 idx = self._global_index[rows]                    # (b, L)
                 flip_mask = self.pairs[rows, 2].astype(bool)
 
-                batch_2d = self._buf_2d[idx]                      # (b, L, J, 2)
-                if np.any(flip_mask):
-                    fl = batch_2d[flip_mask]
-                    fl[..., 0] *= -1
-                    batch_2d[flip_mask] = fl[:, :, self.flip_perm]
-
-                batch_3d = None
-                if self._buf_3d is not None:
-                    batch_3d = self._buf_3d[idx]
+                if self._native is not None:
+                    batch_2d = self._native(self._buf_2d, idx, flip_mask,
+                                            self.flip_perm)
+                    batch_3d = (self._native(self._buf_3d, idx, flip_mask,
+                                             self.flip_perm)
+                                if self._buf_3d is not None else None)
+                else:
+                    batch_2d = self._buf_2d[idx]                  # (b, L, J, 2)
                     if np.any(flip_mask):
-                        fl = batch_3d[flip_mask]
+                        fl = batch_2d[flip_mask]
                         fl[..., 0] *= -1
-                        batch_3d[flip_mask] = fl[:, :, self.flip_perm]
+                        batch_2d[flip_mask] = fl[:, :, self.flip_perm]
+
+                    batch_3d = None
+                    if self._buf_3d is not None:
+                        batch_3d = self._buf_3d[idx]
+                        if np.any(flip_mask):
+                            fl = batch_3d[flip_mask]
+                            fl[..., 0] *= -1
+                            batch_3d[flip_mask] = fl[:, :, self.flip_perm]
 
                 batch_cam = None
                 if self._cams is not None:

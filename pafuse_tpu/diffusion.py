@@ -233,11 +233,15 @@ class D3DP:
 
     def ddim_sample(self, params, rng, x2d, x2d_flip=None,
                     num_proposals: Optional[int] = None,
-                    sampling_timesteps: Optional[int] = None):
+                    sampling_timesteps: Optional[int] = None,
+                    init_noise=None, step_noise=None):
         """Multi-hypothesis DDIM sampling.
 
         Args:
           x2d: (B, F, N, 2) conditioning; x2d_flip: optional flipped twin.
+          init_noise: optional (B, H, F, N, 3) initial x_T (for deterministic
+            golden tests against the reference sampler).
+          step_noise: optional (S, B, H, F, N, 3) per-step DDIM noise.
         Returns:
           (B, S, H, F, N, 3) x0 predictions stacked over the S DDIM steps.
         """
@@ -264,7 +268,8 @@ class D3DP:
                           if x2d_flip is not None else None)
 
         rng, r_init = jax.random.split(rng)
-        img0 = jax.random.normal(r_init, (B, H, F, N, 3), jnp.float32)
+        img0 = (jnp.asarray(init_noise, jnp.float32) if init_noise is not None
+                else jax.random.normal(r_init, (B, H, F, N, 3), jnp.float32))
 
         xs = {
             "t": jnp.asarray(times),
@@ -273,13 +278,16 @@ class D3DP:
             "c": jnp.asarray(coef_c, dtype=jnp.float32),
             "is_last": jnp.asarray(is_last),
         }
+        if step_noise is not None:
+            xs["noise"] = jnp.asarray(step_noise, jnp.float32)
 
         def step(carry, x):
             img, key = carry
             key, knoise = jax.random.split(key)
             pred_noise, x_start = self._model_predictions(
                 params, img, x2d_tiled, x["t"], x2d_flip_tiled)
-            noise = jax.random.normal(knoise, img.shape, jnp.float32)
+            noise = (x["noise"] if step_noise is not None
+                     else jax.random.normal(knoise, img.shape, jnp.float32))
             img_next = (x_start * x["alpha_next_sqrt"]
                         + x["c"] * pred_noise + x["sigma"] * noise)
             img_next = jnp.where(x["is_last"], x_start, img_next)

@@ -157,13 +157,11 @@ def select_attention_fn(use_pallas="auto"):
         return pallas_attention
     if use_pallas is False or str(use_pallas).lower() == "false":
         return None  # mixste default (XLA)
-    # auto: Pallas on real TPU backends — measured on v5e the fused kernel
-    # beats the XLA batched-gemm lowering by ~1.26x on MixSTE-sized
-    # attentions (B=512, L=21, C=256: 1.52ms vs 1.92ms).  CPU/GPU use XLA.
-    try:
-        dev = jax.devices()[0]
-        is_tpu = dev.platform == "tpu" or "tpu" in str(
-            getattr(dev, "device_kind", "")).lower()
-    except Exception:  # pragma: no cover
-        is_tpu = False
-    return pallas_attention if is_tpu else None
+    # auto: XLA everywhere.  Measured on v5e: the fused Pallas kernel wins
+    # per-op on isolated MixSTE-sized attentions (1.52ms vs 1.92ms at
+    # B=512, L=21, C=256) but LOSES at the full-model level (489.6 vs
+    # 614.6 frames/sec at the P=20,T=10 op-point) — inside the model XLA
+    # fuses the surrounding elementwise work into its attention matmuls,
+    # while the pallas_call is a fusion barrier and pays lane-padding on
+    # L=68 face tokens.  Pallas stays opt-in via ``tpu.use_pallas=true``.
+    return None

@@ -12,9 +12,27 @@ unavailable, so the CLIs keep working everywhere.
 from __future__ import annotations
 
 
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache: repeated CLI runs (and the Pallas
+    kernels, which compile slowly through remote-compile tunnels) reuse
+    compiled executables across processes."""
+    import os
+    import jax
+    cache_dir = path or os.environ.get(
+        "PAFUSE_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pafuse_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort
+        pass
+
+
 def ensure_backend():
     """Return jax.devices(), falling back to auto platform selection."""
     import jax
+    enable_compilation_cache()
     try:
         return jax.devices()
     except RuntimeError as e:

@@ -17,6 +17,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeated suite runs skip XLA compiles
+_cache = os.path.join(os.path.expanduser("~"), ".cache", "pafuse_jax_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
