@@ -22,10 +22,10 @@ sys.path.insert(0, REPO)
 
 NUM_PROPOSALS = 20
 SAMPLING_TIMESTEPS = 10
-# 4 windows x 20 proposals x 2 flip orientations x 27 frames = 4320 token
-# rows per denoiser call — fits v5e HBM (16 windows OOMs: the padded
-# per-head attention logits dominate at ~5x lane-padding expansion).
-WINDOWS = 4
+# 8 windows x 20 proposals x 2 flip orientations x 27 frames = 8640 token
+# rows per denoiser call — the largest batch that fits v5e HBM (16 windows
+# OOMs: padded per-head attention logits expand ~5x on the lane dim).
+WINDOWS = 8
 FRAMES = 27
 
 

@@ -107,6 +107,20 @@ def load_state(path: str, params_template: Any,
     return out
 
 
+def latest_checkpoint(folder: str) -> Optional[str]:
+    """Most recent ``epoch_N.npz`` in ``folder`` (for ``resume=auto``)."""
+    import re
+    best, best_epoch = None, -1
+    if not os.path.isdir(folder):
+        return None
+    for name in os.listdir(folder):
+        m = re.fullmatch(r"epoch_(\d+)\.npz", name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(folder, name)
+    return best
+
+
 # ---------------------------------------------------------------------------
 # torch -> JAX conversion
 # ---------------------------------------------------------------------------

@@ -132,6 +132,11 @@ def main(argv=None):
     lr = args.model.learning_rate
     resume_ckpt = None
     chk = args.general.resume or args.general.evaluate
+    if chk == "auto":
+        # resume from the most recent epoch checkpoint (crash recovery)
+        chk = checkpoints.latest_checkpoint(args.general.checkpoint) or ""
+        if chk:
+            print(f"Auto-resume from {chk}")
     if chk:
         chk_path = os.path.join(args.general.checkpoint, chk)
         if not os.path.exists(chk_path):

@@ -144,3 +144,21 @@ def test_torch_converter_strips_module_prefix(model_state):
     converted, matched, skipped = checkpoints.convert_torch_state_dict(
         sd, state.params)
     assert not skipped and len(matched) == len(sd)
+
+
+def test_remat_matches_plain(model_state):
+    """jax.checkpoint'd denoiser must be numerically identical (it only
+    changes what gets rematerialized in the backward pass)."""
+    from pafuse_tpu.diffusion import D3DP
+    model_plain, state, tx = model_state
+    model_remat = D3DP(TINY, remat=True)
+    step_p = tr.build_train_step(model_plain, tx, donate=False)
+    step_r = tr.build_train_step(model_remat, tx, donate=False)
+    rng = np.random.RandomState(7)
+    x2d, x3d = _batch(rng, b=2)
+    s1, l1 = step_p(state, jnp.float32(1e-4), x2d, x3d)
+    s2, l2 = step_r(state, jnp.float32(1e-4), x2d, x3d)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
