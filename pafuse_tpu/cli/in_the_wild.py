@@ -15,7 +15,7 @@ import json
 import os
 import sys
 import time
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -54,7 +54,7 @@ def evaluate_3dhp(model, params, test_data, args, rng=None,
     """Masked multi-hypothesis eval (mpjpe_diffusion_3dhp semantics)."""
     import jax
     import jax.numpy as jnp
-    from pafuse_tpu import geometry, losses
+    from pafuse_tpu import losses
     from pafuse_tpu.data import windows as win
 
     rf = args.model.number_of_frames

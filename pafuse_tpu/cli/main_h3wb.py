@@ -91,7 +91,7 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from pafuse_tpu import checkpoints, evaluate as ev, geometry, losses, train as tr
+    from pafuse_tpu import checkpoints, evaluate as ev, train as tr
     from pafuse_tpu.data import h3wb, sampling
     from pafuse_tpu.utils.backend import ensure_backend
 

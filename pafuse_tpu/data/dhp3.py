@@ -22,7 +22,7 @@ Differences vs the H3WB path, all handled by config:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

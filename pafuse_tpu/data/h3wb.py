@@ -49,6 +49,18 @@ class Human3WBDataset:
             "num_joints": self.num_kps,
             "keypoints_symmetry": [list(sk.JOINTS_LEFT), list(sk.JOINTS_RIGHT)],
         }
+        # per-part one-hot indicator vectors (h3wb_dataset.py:73-77); order
+        # follows the reference's kps_order
+        self.kps_order = ["body", "left_foot", "right_foot", "face",
+                          "left_hand", "right_hand"]
+        part_ranges = {"body": range(1, 18), "left_foot": range(18, 21),
+                       "right_foot": range(21, 24), "face": range(24, 92),
+                       "left_hand": range(92, 113),
+                       "right_hand": range(113, 134)}
+        self.predefined_one_hot_vec = np.zeros(
+            (len(self.kps_order), self.num_kps, 1), dtype=np.float32)
+        for ind, part in enumerate(self.kps_order):
+            self.predefined_one_hot_vec[ind, list(part_ranges[part])] = 1.0
 
     # reference MocapDataset surface (mocap_dataset.py:11-44)
     def subjects(self):

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pafuse_tpu import geometry, skeleton as sk
-from pafuse_tpu.models.parts import (PartModel, PartSpec, build_part_specs,
+from pafuse_tpu.models.parts import (PartModel, build_part_specs,
                                      monolithic_spec)
 
 

@@ -121,6 +121,30 @@ def project_to_2d_linear(x, camera_params):
     return f * xx + c
 
 
+def uvd2xyz(uvd, gt_3d, cam):
+    """Lift (u, v, depth) predictions to root-relative camera-space XYZ
+    using the pinhole intrinsics (camera.py:85-113; unused by the reference
+    pipelines but part of the geometry surface).
+
+    uvd: (N, T, V, 3); gt_3d: (N, T, V, 3) with V=0 carrying the absolute
+    root depth; cam: (..., >=4) intrinsics [fx fy cx cy ...].
+    Returns root-relative xyz (N, T, V, 3).
+    """
+    uvd = jnp.asarray(uvd)
+    gt_3d = jnp.asarray(gt_3d)
+    cam = jnp.asarray(cam)
+    n, t, v, _ = uvd.shape
+    f = cam[..., :2].reshape(-1, 1, 1, 2)
+    c = cam[..., 2:4].reshape(-1, 1, 1, 2)
+    root_z = gt_3d[:, :, 0:1, 2]                                  # (N,T,1)
+    z_global = jnp.concatenate(
+        [root_z, uvd[:, :, 1:, 2] + root_z], axis=2)[..., None]   # (N,T,V,1)
+    uv = uvd[..., :2] - c
+    xy = uv * z_global / f
+    xyz = jnp.concatenate([xy, z_global], axis=-1)
+    return xyz - xyz[:, :, 0:1, :]
+
+
 # ---------------------------------------------------------------------------
 # Pose centering / part assembly (utils.py:79-126)
 # ---------------------------------------------------------------------------

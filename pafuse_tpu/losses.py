@@ -13,7 +13,7 @@ The Procrustes (protocol #2) family stays in NumPy + SVD like the reference
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -107,6 +107,13 @@ def pallas_attention(p, x, num_heads: int, compute_dtype,
     """
     if not _HAS_PALLAS:
         return xla_attention(p, x, num_heads, compute_dtype)
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "cpu"
+    if backend == "cpu":
+        # Mosaic kernels don't run on the CPU backend; keep the call safe
+        return xla_attention(p, x, num_heads, compute_dtype)
 
     *lead, L, C = x.shape
     B = int(np.prod(lead)) if lead else 1

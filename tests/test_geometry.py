@@ -170,3 +170,22 @@ def test_flip_negates_x_of_midline(rng):
     # nose (midline, index 1): same joint, x negated
     np.testing.assert_allclose(flipped[..., 1, 0], -pose[..., 1, 0], atol=1e-6)
     np.testing.assert_allclose(flipped[..., 1, 1:], pose[..., 1, 1:], atol=1e-6)
+
+
+def test_uvd2xyz_pinhole_inverse(rng):
+    """uvd2xyz must invert the pinhole projection for root-relative poses."""
+    import jax.numpy as jnp
+    n, t, v = 2, 3, 5
+    xyz = rng.randn(n, t, v, 3).astype(np.float32)
+    xyz[..., 2] += 5.0  # positive depth
+    f = np.array([2.0, 2.2], np.float32)
+    c = np.array([0.1, -0.05], np.float32)
+    uv = f * (xyz[..., :2] / xyz[..., 2:]) + c
+    # depth channel: root absolute, others relative to root
+    d = xyz[..., 2:].copy()
+    d[:, :, 1:, 0] -= d[:, :, 0:1, 0]
+    uvd = np.concatenate([uv, d], axis=-1)
+    cam = np.tile(np.concatenate([f, c, np.zeros(5, np.float32)]), (n, 1))
+    out = np.asarray(geo.uvd2xyz(uvd, xyz, cam))
+    expected = xyz - xyz[:, :, 0:1]
+    np.testing.assert_allclose(out, expected, atol=1e-4)
