@@ -1,0 +1,106 @@
+"""Real-data-format coverage without the private datasets:
+
+* fabricate a ``train_h3wb.npz`` + ``task1_test_3d.npz`` in the official
+  release structure and exercise ``h3wb.load_real``;
+* fabricate a reference-style torch ``.bin`` checkpoint and load it through
+  the CLI checkpoint path (``general.evaluate=*.bin``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from pafuse_tpu import checkpoints, skeleton as sk
+from pafuse_tpu.data import h3wb
+
+
+def _make_reference_npz(tmp_path, frames=12):
+    """Write npz files shaped like the official H3WB release
+    (h3wb_dataset.py:17-24, 123-132): 133 joints, per-camera dicts."""
+    rng = np.random.RandomState(0)
+    cam_ids = ["54138969", "55011271", "58860488", "60457274"]
+
+    def action():
+        d = {"global_3d": rng.randn(frames, 133, 3).astype(np.float32) * 100,
+             "frame_id": np.arange(frames)}
+        for cam in cam_ids:
+            d[cam] = {
+                "camera_3d": rng.randn(frames, 133, 3).astype(np.float32) * 100,
+                "pose_2d": rng.rand(frames, 133, 2).astype(np.float32) * 1000,
+                "sample_id": np.arange(frames),
+            }
+        return d
+
+    train_data = {"S1": {"Walking 1": action()},
+                  "S5": {"Sitting 1": action()}}
+    metadata = {"left_side": sk.JOINTS_LEFT, "right_side": sk.JOINTS_RIGHT}
+    np.savez(tmp_path / "train_h3wb.npz",
+             train_data=np.array(train_data, dtype=object),
+             metadata=np.array(metadata, dtype=object))
+    test_data = {"S8": {"Posing 1": action()}}
+    np.savez(tmp_path / "task1_test_3d.npz",
+             data=np.array(test_data, dtype=object))
+
+
+def test_load_real_format(tmp_path):
+    _make_reference_npz(tmp_path)
+    ds = h3wb.load_real(str(tmp_path))
+    assert set(ds.subjects()) == {"S1", "S5", "S8"}
+    anim = ds["S1"]["Walking 1"]
+    # root injected: 133 -> 134
+    assert anim["positions"].shape == (12, 134, 3)
+    assert len(anim["positions_3d"]) == 4
+    assert anim["positions_3d"][0].shape == (12, 134, 3)
+    assert anim["pose_2d"][0].shape == (12, 134, 2)
+    # root = mid-hip of the original joints 11/12 (now 12/13)
+    p = anim["positions_3d"][0]
+    np.testing.assert_allclose(p[:, 0], 0.5 * (p[:, 12] + p[:, 13]),
+                               atol=1e-4)
+    # S8 merged from the test npz
+    assert "Posing 1" in ds["S8"]
+
+    kps = h3wb.prepare_data(ds)
+    assert np.abs(kps["S1"]["Walking 1"][0]).max() < 3  # normalized
+
+
+def test_load_dataset_auto_prefers_real(tmp_path):
+    _make_reference_npz(tmp_path)
+    ds = h3wb.load_dataset(str(tmp_path), synthetic="auto")
+    assert "Walking 1" in ds["S1"]  # real, not the synthetic action set
+
+
+def test_torch_bin_checkpoint_via_cli(tmp_path, monkeypatch):
+    """Write a reference-format .bin and evaluate it through the CLI."""
+    import torch
+    from pafuse_tpu.cli.main_h3wb import build_model
+    from pafuse_tpu import config as cfg_mod
+
+    args = cfg_mod.load_config(overrides=[
+        "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20"])
+    model = build_model(args, is_train=False, num_proposals=1,
+                        sampling_timesteps=1)
+    params = model.init_params(jax.random.PRNGKey(3))
+    sd = checkpoints.export_torch_state_dict(params)
+    bin_path = tmp_path / "pafuse_model.bin"
+    torch.save({"model_pos": {k: torch.from_numpy(v) for k, v in sd.items()},
+                "epoch": 77, "lr": 1e-5}, str(bin_path))
+
+    restored = checkpoints.load_torch_checkpoint(str(bin_path), params)
+    assert restored["epoch"] == 77
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # full CLI eval run loading the .bin (debug mode)
+    monkeypatch.chdir(tmp_path)
+    from pafuse_tpu.cli import main_h3wb
+    main_h3wb.main([
+        "data.synthetic=true", "model.number_of_frames=9", "model.dep=1",
+        "ft2d.timestep=20", "ft2d.sampling_timesteps=1",
+        "ft2d.num_proposals=1", "ft2d.debug=true", "general.nolog=true",
+        f"general.evaluate={bin_path}",
+        f"general.checkpoint={tmp_path}/out",
+    ])
+    assert os.path.exists(tmp_path / "out" / "h36m_test_log_H1_K1.txt")
