@@ -35,6 +35,8 @@ def measure_ours() -> float:
     import numpy as np
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
     from pafuse_tpu.ops.attention import select_attention_fn
+    from pafuse_tpu.utils.backend import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
                      sampling_timesteps=SAMPLING_TIMESTEPS)

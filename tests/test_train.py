@@ -162,3 +162,21 @@ def test_remat_matches_plain(model_state):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_training_determinism():
+    """Same seed => identical loss sequence (replaces the reference's
+    cudnn-determinism story, main_h3wb.py:591-601)."""
+    losses_by_run = []
+    for _ in range(2):
+        model = D3DP(TINY)
+        state, tx = tr.create_train_state(model, seed=42)
+        step = tr.build_train_step(model, tx, donate=False)
+        rng = np.random.RandomState(9)
+        x2d, x3d = _batch(rng, b=2)
+        run = []
+        for i in range(3):
+            state, loss = step(state, jnp.float32(1e-4), x2d, x3d)
+            run.append(float(loss))
+        losses_by_run.append(run)
+    assert losses_by_run[0] == losses_by_run[1]
