@@ -146,12 +146,14 @@ def main(argv=None):
             seqs_per_batch, None, p3, p2, args.model.number_of_frames,
             augment=args.model.data_augmentation,
             flip_permutation=sk.FLIP_PERMUTATION_3DHP)
+        from pafuse_tpu.runtime import PrefetchingLoader
+        loader = PrefetchingLoader(gen, depth=2)
         step_fn = tr.build_train_step(model_train, tx, part_based=False,
                                       donate=args.tpu.donate_buffers)
         while epoch < args.model.epochs:
             t0 = time()
             tot, n = 0.0, 0
-            for _, b3d, b2d in gen.next_epoch():
+            for _, b3d, b2d in loader.next_epoch():
                 b2d, real = tr.pad_batch(b2d, seqs_per_batch)
                 b3d, _ = tr.pad_batch(b3d, seqs_per_batch)
                 # train in meters: loss on the (pred*1000 vs mm GT) scale

@@ -184,6 +184,9 @@ def main(argv=None):
             seqs_per_batch, cams_train, poses_train, poses_train_2d,
             args.model.number_of_frames, shuffle=True,
             augment=args.model.data_augmentation)
+        # background-thread prefetch: batch assembly overlaps device steps
+        from pafuse_tpu.runtime import PrefetchingLoader
+        train_loader = PrefetchingLoader(train_gen, depth=2)
         print(f"INFO: Training on {train_gen.num_frames() * receptive_field}"
               " frames")
         if resume_ckpt is not None and "random_state" in resume_ckpt:
@@ -205,7 +208,7 @@ def main(argv=None):
             start_time = time()
             epoch_loss, n_seen = 0.0, 0
             num_batches = train_gen.batch_num()
-            for it, (camb, b3d, b2d) in enumerate(train_gen.next_epoch()):
+            for it, (camb, b3d, b2d) in enumerate(train_loader.next_epoch()):
                 if it % 10 == 0:
                     print(f"{it}/{num_batches}")
                 b2d, real = tr.pad_batch(b2d, seqs_per_batch)
