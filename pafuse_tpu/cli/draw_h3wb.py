@@ -47,7 +47,9 @@ def main(argv=None):
 
     model = build_model(args, is_train=False,
                         num_proposals=args.ft2d.num_proposals,
-                        sampling_timesteps=args.ft2d.sampling_timesteps)
+                        sampling_timesteps=args.ft2d.sampling_timesteps,
+                        flip_permutation=getattr(dataset, "flip_permutation",
+                                                 None))
     params = model.init_params(jax.random.PRNGKey(0))
     chk = args.general.evaluate or args.general.resume
     if chk:

@@ -23,7 +23,7 @@ from pafuse_tpu.utils.misc import Logger
 
 
 def build_model(args, *, is_train: bool, num_proposals: int = 1,
-                sampling_timesteps: int = 1):
+                sampling_timesteps: int = 1, flip_permutation=None):
     import jax.numpy as jnp
     from pafuse_tpu import skeleton as sk
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
@@ -46,7 +46,8 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
         drop_path_rate=0.1 if is_train else 0.0,
         test_time_augmentation=args.model.test_time_augmentation,
     )
-    return D3DP(cfg, compute_dtype=compute_dtype,
+    return D3DP(cfg, flip_permutation=flip_permutation,
+                compute_dtype=compute_dtype,
                 attention_fn=select_attention_fn(args.tpu.use_pallas),
                 remat=bool(args.tpu.remat))
 
@@ -113,11 +114,15 @@ def main(argv=None):
     print(f"INFO: Receptive field: {receptive_field} frames")
 
     # ---- models ----------------------------------------------------------
+    # flip symmetry follows the dataset (npz-metadata-derived on real data)
+    flip_perm = getattr(dataset, "flip_permutation", None)
     model_eval_final = build_model(
         args, is_train=False,
         num_proposals=args.ft2d.num_proposals,
-        sampling_timesteps=args.ft2d.sampling_timesteps)
-    model_train = build_model(args, is_train=True)
+        sampling_timesteps=args.ft2d.sampling_timesteps,
+        flip_permutation=flip_perm)
+    model_train = build_model(args, is_train=True,
+                              flip_permutation=flip_perm)
 
     state, tx = tr.create_train_state(model_train, seed=args.tpu.seed)
     n_params = model_train.model.param_count(state.params)
@@ -183,7 +188,8 @@ def main(argv=None):
         train_gen = sampling.ChunkedSampler(
             seqs_per_batch, cams_train, poses_train, poses_train_2d,
             args.model.number_of_frames, shuffle=True,
-            augment=args.model.data_augmentation)
+            augment=args.model.data_augmentation,
+            flip_permutation=flip_perm)
         # background-thread prefetch: batch assembly overlaps device steps
         from pafuse_tpu.runtime import PrefetchingLoader
         train_loader = PrefetchingLoader(train_gen, depth=2)

@@ -34,7 +34,9 @@ class Human3WBDataset:
     """
 
     def __init__(self, data: Dict[str, Dict[str, dict]],
-                 cameras: Dict[str, List[dict]], fps: int = 50):
+                 cameras: Dict[str, List[dict]], fps: int = 50,
+                 joints_left: Optional[List[int]] = None,
+                 joints_right: Optional[List[int]] = None):
         self._data = data
         self._cameras = cameras
         self._fps = fps
@@ -44,10 +46,20 @@ class Human3WBDataset:
                                     for k, v in sk.PARTS_JOINT_INDICES.items()}
         self.root_indices = dict(sk.ROOT_INDICES)
         self.parts_connection_indices = dict(sk.PARTS_CONNECTION_INDICES)
+        # symmetry: npz-metadata-derived when available (exactly the
+        # reference's construction, h3wb_dataset.py:27-38), else the static
+        # COCO-WholeBody tables
+        self.joints_left = list(joints_left if joints_left is not None
+                                else sk.JOINTS_LEFT)
+        self.joints_right = list(joints_right if joints_right is not None
+                                 else sk.JOINTS_RIGHT)
+        self.flip_permutation = sk.flip_permutation_from_symmetry(
+            self.joints_left, self.joints_right, self.num_kps)
         self.keypoints_metadata = {
             "layout_name": "h3wb",
             "num_joints": self.num_kps,
-            "keypoints_symmetry": [list(sk.JOINTS_LEFT), list(sk.JOINTS_RIGHT)],
+            "keypoints_symmetry": [list(self.joints_left),
+                                   list(self.joints_right)],
         }
         # per-part one-hot indicator vectors (h3wb_dataset.py:73-77); order
         # follows the reference's kps_order
@@ -105,6 +117,22 @@ def load_real(data_dir: str) -> Human3WBDataset:
         test_data = np.load(test_path, allow_pickle=True)["data"].item()
         train_data.update(test_data)
 
+    # Derive flip symmetry from the npz metadata when present — the same
+    # construction as the reference (h3wb_dataset.py:27-38), so real-data
+    # runs cannot diverge from it.  The static tables stay as a checked
+    # fallback for metadata-less files.
+    joints_left = joints_right = None
+    if "metadata" in getattr(raw, "files", []):
+        meta = raw["metadata"].item()
+        if "left_side" in meta and "right_side" in meta:
+            joints_left, joints_right = sk.symmetry_from_metadata(meta)
+            perm = sk.flip_permutation_from_symmetry(
+                joints_left, joints_right, sk.NUM_JOINTS)
+            if not np.array_equal(perm, sk.FLIP_PERMUTATION):
+                print("WARNING: npz-derived flip symmetry differs from the "
+                      "static COCO-WholeBody table; using the npz metadata "
+                      "(reference behavior).")
+
     cameras = cam_tables.build_cameras()
     data: Dict[str, Dict[str, dict]] = {}
     for subject, actions in train_data.items():
@@ -120,7 +148,8 @@ def load_real(data_dir: str) -> Human3WBDataset:
                 "positions_3d": positions_3d,
                 "pose_2d": pose_2d,
             }
-    return Human3WBDataset(data, cameras)
+    return Human3WBDataset(data, cameras, joints_left=joints_left,
+                           joints_right=joints_right)
 
 
 # ---------------------------------------------------------------------------

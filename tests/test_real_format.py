@@ -35,7 +35,10 @@ def _make_reference_npz(tmp_path, frames=12):
 
     train_data = {"S1": {"Walking 1": action()},
                   "S5": {"Sitting 1": action()}}
-    metadata = {"left_side": sk.JOINTS_LEFT, "right_side": sk.JOINTS_RIGHT}
+    # metadata side lists are 0-based over the 133 pre-root joints
+    # (the reference shifts them by +1 itself, h3wb_dataset.py:34-38)
+    metadata = {"left_side": [j - 1 for j in sk.JOINTS_LEFT],
+                "right_side": [j - 1 for j in sk.JOINTS_RIGHT]}
     np.savez(tmp_path / "train_h3wb.npz",
              train_data=np.array(train_data, dtype=object),
              metadata=np.array(metadata, dtype=object))
@@ -63,6 +66,31 @@ def test_load_real_format(tmp_path):
 
     kps = h3wb.prepare_data(ds)
     assert np.abs(kps["S1"]["Walking 1"][0]).max() < 3  # normalized
+
+    # flip symmetry derived from npz metadata matches the static tables
+    assert ds.joints_left == list(sk.JOINTS_LEFT)
+    assert ds.joints_right == list(sk.JOINTS_RIGHT)
+    np.testing.assert_array_equal(ds.flip_permutation, sk.FLIP_PERMUTATION)
+
+
+def test_load_real_follows_npz_symmetry_order(tmp_path, capsys):
+    """If the npz metadata pairs joints differently from our static tables,
+    the loader must follow the npz (reference behavior), not the tables."""
+    _make_reference_npz(tmp_path)
+    # rewrite metadata with a deliberately different pairing: swap the
+    # element order of the right list's first two entries
+    raw = np.load(tmp_path / "train_h3wb.npz", allow_pickle=True)
+    meta = raw["metadata"].item()
+    right = list(meta["right_side"])
+    right[0], right[1] = right[1], right[0]
+    meta["right_side"] = right
+    np.savez(tmp_path / "train_h3wb.npz",
+             train_data=raw["train_data"],
+             metadata=np.array(meta, dtype=object))
+    ds = h3wb.load_real(str(tmp_path))
+    assert ds.joints_right[0] == right[0] + 1
+    assert not np.array_equal(ds.flip_permutation, sk.FLIP_PERMUTATION)
+    assert "WARNING" in capsys.readouterr().out
 
 
 def test_load_dataset_auto_prefers_real(tmp_path):

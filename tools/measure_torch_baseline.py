@@ -44,7 +44,7 @@ class _DatasetStub:
 
 
 def measure(num_proposals=20, sampling_timesteps=10, windows=2, iters=1,
-            frames=27) -> float:
+            frames=27, warmup=True) -> float:
     from torch_oracle import _install_timm_stub, patch_cuda_to_cpu
     _install_timm_stub()
     patch_cuda_to_cpu()
@@ -69,7 +69,8 @@ def measure(num_proposals=20, sampling_timesteps=10, windows=2, iters=1,
         rng.randn(windows, frames, 134, 2).astype("float32"))
 
     with torch.no_grad():
-        model(x2d, None, input_2d_flip=x2d_flip)  # warmup
+        if warmup:
+            model(x2d, None, input_2d_flip=x2d_flip)
         t0 = time.perf_counter()
         for _ in range(iters):
             model(x2d, None, input_2d_flip=x2d_flip)
@@ -79,5 +80,11 @@ def measure(num_proposals=20, sampling_timesteps=10, windows=2, iters=1,
 
 if __name__ == "__main__":
     import json
-    fps = measure()
-    print(json.dumps({"torch_cpu_fps": fps, "op_point": "P=20,T=10"}))
+    # Direct (not extrapolated) measurement at the headline op-point.
+    # One P=20,T=10 flip-TTA call is minutes on CPU; we still warm up with a
+    # full-op-point call so allocator/threadpool effects favor the reference
+    # (a faster denominator is the conservative direction for our speedup).
+    fps = measure(windows=1, iters=1, warmup=True)
+    print(json.dumps({"torch_cpu_fps": fps,
+                      "op_point": "P=20,T=10, flip-TTA, 1 window of 27 frames",
+                      "method": "direct"}))
