@@ -169,6 +169,9 @@ def main(argv=None):
         subjects_test, keypoints, dataset, stride=args.experiment.downsample,
         action_filter=action_filter)
     print(f"INFO: Testing on {sum(p.shape[0] for p in poses_valid_2d)} frames")
+    # one window-batch shape for ALL eval calls this run -> single jit
+    # specialization across epochs and actions
+    pin_bs = ev.pinned_window_batch(poses_valid_2d, receptive_field)
 
     min_loss = args.model.min_loss
 
@@ -219,8 +222,9 @@ def main(argv=None):
                     print(f"{it}/{num_batches}")
                 b2d, real = tr.pad_batch(b2d, seqs_per_batch)
                 b3d, _ = tr.pad_batch(b3d, seqs_per_batch)
-                state, loss = step_fn(state, jnp.float32(lr),
-                                      jnp.asarray(b2d), jnp.asarray(b3d))
+                # per-shard host->device transfer (no replicate-then-reshard)
+                b2d, b3d = tr.shard_batch((b2d, b3d), mesh)
+                state, loss = step_fn(state, jnp.float32(lr), b2d, b3d)
                 loss = float(loss)
                 epoch_loss += real * receptive_field * loss
                 n_seen += real * receptive_field
@@ -235,7 +239,8 @@ def main(argv=None):
                 acc, _ = ev.evaluate_sequences(
                     model_eval_final, state.params, seqs, args,
                     receptive_field=receptive_field, num_proposals=1,
-                    sampling_timesteps=1, quickdebug=quickdebug)
+                    sampling_timesteps=1, window_batch=pin_bs,
+                    quickdebug=quickdebug)
                 means = acc.means_mm()
                 val_mm = float(np.atleast_1d(means["P_Best"])[0])
                 val_pb_mm = float(np.atleast_1d(means["P_Best_PB"])[0])
@@ -315,6 +320,7 @@ def main(argv=None):
                 receptive_field=receptive_field,
                 num_proposals=args.ft2d.num_proposals,
                 sampling_timesteps=args.ft2d.sampling_timesteps,
+                window_batch=pin_bs,
                 quickdebug=args.ft2d.debug, collect_p2=args.ft2d.p2)
             means = acc.means_mm()
             p2m = p2.means_mm() if (p2 is not None and p2.n > 0) else None

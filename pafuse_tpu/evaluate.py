@@ -51,6 +51,23 @@ class EvalAccumulator:
         return {k: v / max(self.n, 1e-9) * 1000.0 for k, v in self.sums.items()}
 
 
+def get_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
+                  part_based: bool = True, with_p2_data: bool = False):
+    """Memoized ``build_eval_step``: one jitted step per (model, P, T, flags)
+    so repeated per-action evaluation reuses the same jit cache instead of
+    re-tracing/recompiling for every action."""
+    cache = getattr(model, "_eval_step_cache", None)
+    if cache is None:
+        cache = {}
+        model._eval_step_cache = cache
+    key = (num_proposals, sampling_timesteps, part_based, with_p2_data)
+    if key not in cache:
+        cache[key] = build_eval_step(model, num_proposals, sampling_timesteps,
+                                     part_based=part_based,
+                                     with_p2_data=with_p2_data)
+    return cache[key]
+
+
 def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
                     part_based: bool = True, with_p2_data: bool = False):
     """Returns jitted
@@ -120,11 +137,24 @@ def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
     return jax.jit(step)
 
 
+def pinned_window_batch(seqs_2d, receptive_field: int,
+                        sub_batch: int = 64) -> int:
+    """One padded window-batch size covering every sequence in ``seqs_2d``
+    (list of (F, J, 2) arrays) — pass to ``evaluate_sequences`` so a whole
+    multi-action evaluation shares a single jit specialization."""
+    max_windows = 1
+    for s in seqs_2d:
+        frames = np.squeeze(np.asarray(s)).shape[0]
+        max_windows = max(max_windows, -(-frames // receptive_field))
+    return min(sub_batch, 1 << (max_windows - 1).bit_length())
+
+
 def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                        rng: Optional[jax.Array] = None,
                        receptive_field: int = 27,
                        num_proposals: int = 10, sampling_timesteps: int = 5,
                        sub_batch: int = 64,
+                       window_batch: Optional[int] = None,
                        quickdebug: bool = False,
                        collect_p2: bool = False,
                        return_predictions: bool = False,
@@ -138,12 +168,29 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     """
     part_based = model.cfg.part_based
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    step = build_eval_step(model, num_proposals, sampling_timesteps,
-                           part_based=part_based,
-                           with_p2_data=collect_p2 or return_predictions)
+    step = get_eval_step(model, num_proposals, sampling_timesteps,
+                         part_based=part_based,
+                         with_p2_data=collect_p2 or return_predictions)
     acc = EvalAccumulator()
     p2_acc = EvalAccumulator()
     all_preds = []
+
+    # Pin ONE padded sub-batch size for the whole call (callers spanning
+    # several calls — e.g. per-action evaluation — pass ``window_batch`` to
+    # pin it run-wide): bucket the largest sequence's window count to a power
+    # of two.  Short sequences pad up to it (masked), so the jitted step
+    # compiles for a single shape instead of one specialization per distinct
+    # sequence length.
+    sequences = list(sequences)
+    if window_batch is not None:
+        bs = window_batch
+    else:
+        max_windows = 1
+        for _, _, seq_2d in sequences:
+            frames = np.squeeze(np.asarray(seq_2d)).shape[0]
+            n = max(1, -(-frames // receptive_field))  # window_indices count
+            max_windows = max(max_windows, n)
+        bs = min(sub_batch, 1 << (max_windows - 1).bit_length())
 
     for cam, seq_3d, seq_2d in sequences:
         x2d_flip_seq = geometry.flip_pose_np(
@@ -159,7 +206,6 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
 
         cam_vec = np.asarray(cam, np.float32).reshape(-1)
         n_windows = w2d.shape[0]
-        bs = min(sub_batch, max(1, n_windows))
         for start in range(0, n_windows, bs):
             sl = slice(start, min(start + bs, n_windows))
             cur = sl.stop - sl.start

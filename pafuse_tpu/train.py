@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from pafuse_tpu import geometry
 from pafuse_tpu.diffusion import D3DP
@@ -55,26 +55,16 @@ def create_train_state(model: D3DP, seed: int = 1,
 
 
 # ---------------------------------------------------------------------------
-# Mesh / sharding
+# Mesh / sharding — single implementation in pafuse_tpu.parallel.mesh,
+# re-exported here for the training-facing surface.
 # ---------------------------------------------------------------------------
 
-def make_mesh(mesh_shape=(-1,), axis_names=("data",),
-              devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    shape = list(mesh_shape)
-    if -1 in shape:
-        known = int(np.prod([s for s in shape if s != -1])) or 1
-        shape[shape.index(-1)] = len(devices) // known
-    dev_array = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
-    return Mesh(dev_array, axis_names)
-
-
-def shard_batch_spec(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(mesh.axis_names[0]))
-
-
-def replicated_spec(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())
+from pafuse_tpu.parallel.mesh import (  # noqa: E402  (re-export)
+    make_mesh,
+    data_sharding as shard_batch_spec,
+    replicated as replicated_spec,
+    shard_batch,
+)
 
 
 # ---------------------------------------------------------------------------
