@@ -65,8 +65,12 @@ def _unflatten_tree(flat: Dict[str, np.ndarray], structure: Any) -> Any:
 
 def save_state(folder: str, tag: str, *, params: Any, opt_state: Any = None,
                epoch: int = 0, lr: float = 0.0, random_state=None,
-               extra: Optional[dict] = None) -> str:
-    """Write ``{folder}/{tag}.npz`` (native equivalent of logging.py:83-115)."""
+               extra: Optional[dict] = None, log_in_mlf: bool = False) -> str:
+    """Write ``{folder}/{tag}.npz`` (native equivalent of logging.py:83-115).
+
+    ``log_in_mlf`` attaches the file as an MLflow artifact when a run is
+    active (reference: logging.py:112-115).
+    """
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, f"{tag}.npz")
 
@@ -84,6 +88,11 @@ def save_state(folder: str, tag: str, *, params: Any, opt_state: Any = None,
         arrays["__random_state__"] = np.frombuffer(
             pickle.dumps(random_state), dtype=np.uint8)
     np.savez(path, **arrays)
+    if log_in_mlf:
+        from pafuse_tpu.utils import observability as obs
+        if obs.mlflow_available():
+            import mlflow
+            mlflow.log_artifact(path)
     return path
 
 

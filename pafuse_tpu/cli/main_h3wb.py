@@ -10,6 +10,7 @@ Reference behavior: ``/root/reference/main_h3wb.py`` (hydra main, 567-1369).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 from datetime import datetime
@@ -67,6 +68,15 @@ def collect_actions(dataset, subjects_test):
 
 def main(argv=None):
     args = cfg_mod.parse_cli(argv if argv is not None else sys.argv[1:])
+    from pafuse_tpu.utils import observability as obs
+    # MLflow run around the whole driver, params logged on entry when
+    # enabled (reference: main_h3wb.py:732-744, logging.py:24-42)
+    with obs.mlflow_run(args) as mlflow_on:
+        return _run(args, mlflow_on)
+
+
+def _run(args, mlflow_on: bool = False):
+    from pafuse_tpu.utils import observability as obs
 
     timestamp = datetime.now().strftime("%Y%m%dT%H-%M-%S")
     description = "Evaluate!" if args.general.evaluate else "Train!"
@@ -74,13 +84,10 @@ def main(argv=None):
     if not args.general.nolog:
         logdir = f"{args.general.log}_{timestamp}"
         os.makedirs(logdir, exist_ok=True)
-        try:
-            from tensorboardX import SummaryWriter
-            writer = SummaryWriter(logdir)
+        writer = obs.make_summary_writer(logdir)
+        if writer is not None:
             writer.add_text("description", description)
             writer.add_text("command", "python " + " ".join(sys.argv))
-        except ImportError:
-            writer = None
         sys.stdout = Logger(os.path.join(logdir, "logging.log"))
     print(description)
     print("==> Using settings:")
@@ -213,8 +220,14 @@ def main(argv=None):
         quickdebug = args.ft2d.debug
         train_curve, valid_curve = [], []
 
+        first_epoch = epoch
         while epoch < args.model.epochs:
             start_time = time()
+            # one-epoch jax.profiler trace when requested (tpu.profile=true)
+            prof = contextlib.ExitStack()
+            if args.tpu.profile and epoch == first_epoch:
+                prof.enter_context(obs.profile_trace(
+                    os.path.join(args.general.checkpoint, "profile")))
             epoch_loss, n_seen = 0.0, 0
             num_batches = train_gen.batch_num()
             for it, (camb, b3d, b2d) in enumerate(train_loader.next_epoch()):
@@ -230,7 +243,11 @@ def main(argv=None):
                 n_seen += real * receptive_field
                 if quickdebug:
                     break
+            prof.close()
             epoch_loss_mm = epoch_loss / max(n_seen, 1) * 1000
+            # MLflow per-epoch metrics (reference: main_h3wb.py:892-894,
+            # 977-978, 1060-1071; same key vocabulary)
+            metrics_to_log = {"tr_loss": epoch_loss_mm}
 
             # per-epoch eval at P=1, T=1 with flip TTA (main_h3wb.py:899-978)
             val_mm, val_pb_mm = float("nan"), float("nan")
@@ -244,6 +261,8 @@ def main(argv=None):
                 means = acc.means_mm()
                 val_mm = float(np.atleast_1d(means["P_Best"])[0])
                 val_pb_mm = float(np.atleast_1d(means["P_Best_PB"])[0])
+                metrics_to_log["val_mpjpe"] = val_mm
+                metrics_to_log["val_pb_mpjpe"] = val_pb_mm
 
             elapsed = (time() - start_time) / 60
             log = (f"[{epoch + 1}] time {elapsed:.2f} lr {lr:f} "
@@ -268,16 +287,22 @@ def main(argv=None):
                     args.general.checkpoint, f"epoch_{epoch}",
                     params=state.params, opt_state=state.opt_state,
                     epoch=epoch, lr=lr,
-                    random_state=train_gen.random_state())
+                    random_state=train_gen.random_state(),
+                    log_in_mlf=mlflow_on)
             if val_mm < min_loss:
                 min_loss = val_mm
                 checkpoints.save_state(
                     args.general.checkpoint, "best_epoch",
                     params=state.params, opt_state=state.opt_state,
                     epoch=epoch, lr=lr,
-                    random_state=train_gen.random_state())
+                    random_state=train_gen.random_state(),
+                    log_in_mlf=mlflow_on)
                 with open(log_path, "a") as f:
                     f.write("best epoch\n")
+                metrics_to_log.update({"best_epoch_loss": epoch,
+                                       "best_val_loss": val_mm})
+            obs.log_metrics_to_mlflow(metrics_to_log, step=epoch,
+                                      mlflow_on=mlflow_on)
 
             # training-curve PNG export (main_h3wb.py:1073-1095)
             train_curve.append(epoch_loss_mm)

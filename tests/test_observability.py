@@ -69,3 +69,79 @@ def test_backend_ensure(tmp_path, monkeypatch):
     from pafuse_tpu.utils import backend
     devs = backend.ensure_backend()
     assert len(devs) >= 1
+
+
+class _FakeMlflow:
+    """In-memory stand-in for the mlflow module (not installed here)."""
+
+    def __init__(self):
+        self.params, self.metrics, self.artifacts = {}, [], []
+        self.tracking_uri = self.experiment = None
+        self.run_active = False
+
+    def set_tracking_uri(self, uri):
+        self.tracking_uri = uri
+
+    def set_experiment(self, name):
+        self.experiment = name
+
+    def log_param(self, k, v):
+        self.params[k] = v
+
+    def log_metric(self, k, v, step=None):
+        self.metrics.append((k, v, step))
+
+    def log_artifact(self, path):
+        self.artifacts.append(path)
+
+    def start_run(self):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            self.run_active = True
+            yield self
+            self.run_active = False
+        return cm()
+
+
+def test_mlflow_wired_through_training_cli(tmp_path, monkeypatch):
+    """The training driver logs params, per-epoch metrics and checkpoint
+    artifacts to MLflow when mlflow.mlflow_on=true (reference:
+    main_h3wb.py:732-744, 1060-1071; logging.py:101-115)."""
+    import sys
+    fake = _FakeMlflow()
+    monkeypatch.setitem(sys.modules, "mlflow", fake)
+    monkeypatch.chdir(tmp_path)
+    from pafuse_tpu.cli import main_h3wb
+    main_h3wb.main([
+        "data.synthetic=true", "model.epochs=1", "model.number_of_frames=9",
+        "model.batch_size=18", "model.dep=1", "model.cs=32",
+        "ft2d.timestep=20", "ft2d.sampling_timesteps=1",
+        "ft2d.num_proposals=1", "ft2d.debug=true", "general.nolog=true",
+        "general.checkpoint_frequency=1",
+        "mlflow.mlflow_on=true", "mlflow.experiment=smoke",
+        f"mlflow.mlflow_uri=file://{tmp_path}/mlruns",
+        f"general.checkpoint={tmp_path}/ckpt",
+    ])
+    assert fake.experiment == "smoke"
+    assert fake.params.get("model.dep") == 1          # config flattened
+    keys = {k for k, _, _ in fake.metrics}
+    assert {"tr_loss", "val_mpjpe", "val_pb_mpjpe"} <= keys
+    assert any(p.endswith("epoch_1.npz") for p in fake.artifacts)
+
+
+def test_profile_flag_writes_trace(tmp_path, monkeypatch):
+    """tpu.profile=true captures a jax.profiler trace of the first epoch."""
+    monkeypatch.chdir(tmp_path)
+    from pafuse_tpu.cli import main_h3wb
+    main_h3wb.main([
+        "data.synthetic=true", "model.epochs=1", "model.number_of_frames=9",
+        "model.batch_size=18", "model.dep=1", "model.cs=32",
+        "ft2d.timestep=20", "ft2d.sampling_timesteps=1",
+        "ft2d.num_proposals=1", "ft2d.debug=true", "general.nolog=true",
+        "experiment.no_eval=true", "tpu.profile=true",
+        f"general.checkpoint={tmp_path}/ckpt",
+    ])
+    prof_dir = tmp_path / "ckpt" / "profile"
+    assert prof_dir.exists() and any(prof_dir.rglob("*"))
