@@ -1,0 +1,303 @@
+#!/usr/bin/env python
+"""One-command real-checkpoint parity harness (±0.5 mm target).
+
+Given the private H3WB npz files and the released reference checkpoint
+(``pafuse_model.bin``), this tool
+
+1. converts the torch checkpoint to our parameter tree,
+2. (optional) runs an *implementation-level* parity check on real data:
+   the reference torch sampler (imported read-only from /root/reference,
+   identical weights, identical injected noise) vs our ``lax.scan`` DDIM,
+   reporting the max deviation in millimeters,
+3. evaluates the S8 test subject at the requested op-points with the exact
+   reference metric vocabulary (J_Best / P_Best / P_Agg / J_Agg, action-wise
+   average),
+4. diffs the numbers against a reference-side eval log
+   (``h36m_test_log_H{P}_K{T}.txt`` produced by the reference driver — or
+   any file with the same ``action-wise average`` lines) and verdicts each
+   metric against the ±0.5 mm budget,
+5. writes ``PARITY_REAL.md``.
+
+Usage (flagship config):
+
+    PYTHONPATH=/root/repo python tools/check_parity.py \
+        --data-dir data --checkpoint checkpoint/pafuse_model.bin \
+        --op-points 1x1,10x5 --reference-log ref_logs/h36m_test_log_H10_K5.txt
+
+Exit codes: 0 parity within budget (or no reference log to compare),
+2 missing artifacts, 3 parity budget exceeded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+METRICS = ("J_Best", "P_Best", "P_Agg", "J_Agg")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--checkpoint", default="checkpoint/pafuse_model.bin")
+    p.add_argument("--op-points", default="1x1,10x5",
+                   help="comma list of PxT evaluation op-points")
+    p.add_argument("--reference-log", action="append", default=[],
+                   help="reference eval log(s) to diff against (repeatable; "
+                        "matched to op-points by their H{P}_K{T} filename or "
+                        "in order)")
+    p.add_argument("--impl-windows", type=int, default=2,
+                   help="windows of real data for the torch-vs-ours "
+                        "implementation check (0 = skip)")
+    p.add_argument("--budget-mm", type=float, default=0.5)
+    p.add_argument("--out", default="PARITY_REAL.md")
+    # model shape overrides (defaults = flagship); lets tests exercise the
+    # harness end-to-end with a tiny fabricated checkpoint
+    p.add_argument("--frames", type=int, default=27)
+    p.add_argument("--dep", type=int, default=8)
+    p.add_argument("--timestep", type=int, default=1000)
+    p.add_argument("--subjects", default="S8")
+    return p.parse_args(argv)
+
+
+def parse_reference_log(path):
+    """Extract {metric: value_mm} from 'action-wise average' lines (the last
+    DDIM step's block wins, matching how results are quoted)."""
+    out = {}
+    pat = re.compile(r"action-wise average (\w+):\s*([0-9.]+)\s*mm")
+    with open(path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m and m.group(1) in METRICS:
+                out[m.group(1)] = float(m.group(2))  # later steps overwrite
+    return out
+
+
+def implementation_check(model, params, dataset, keypoints, subjects,
+                         n_windows, receptive_field):
+    """Reference torch sampler vs ours on real 2D windows: identical
+    weights + injected noise => same predictions (reports max |delta| mm)."""
+    import types
+    import numpy as np
+    from torch_oracle import _install_timm_stub, patch_cuda_to_cpu
+    _install_timm_stub()
+    patch_cuda_to_cpu()
+    import torch
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from common.diffusionpose import D3DP as RefD3DP
+    import jax
+    import jax.numpy as jnp
+    from pafuse_tpu import checkpoints, geometry, skeleton as sk
+    from pafuse_tpu.data import windows as win
+
+    cfg = model.cfg
+    P, S = 2, 2  # small op-point keeps the torch side tractable
+
+    class Cfg:
+        general = types.SimpleNamespace(part_based_model=cfg.part_based)
+        model_ = types.SimpleNamespace(
+            number_of_frames=cfg.frames, test_time_augmentation=True,
+            diff_model="MixSTE2", input_size=cfg.input_size, dep=cfg.depth,
+            cs=cfg.cs)
+        model = model_
+        data = types.SimpleNamespace(num_kps=cfg.num_kps,
+                                     merge_hands=cfg.merge_hands)
+        ft2d = types.SimpleNamespace(timestep=cfg.timesteps, scale=cfg.scale,
+                                     sampling_timesteps=S, num_proposals=P)
+
+    class Ds:
+        metadata = {}
+        root_indices = dict(dataset.root_indices)
+        parts_joint_indices = {k: list(v)
+                               for k, v in sk.PARTS_JOINT_INDICES.items()}
+
+    ref = RefD3DP(Cfg(), list(dataset.joints_left),
+                  list(dataset.joints_right), Ds(), is_train=False,
+                  num_proposals=P, sampling_timesteps=S)
+    ref.device = "cpu"
+    ref.eval()
+    sd = checkpoints.export_torch_state_dict(params,
+                                             part_based=cfg.part_based)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+
+    # real 2D windows from the first test sequence
+    subject = subjects[0]
+    action = next(iter(keypoints[subject]))
+    seq_2d = keypoints[subject][action][0]
+    w2d, _ = win.eval_data_prepare(receptive_field, seq_2d)
+    w2d = w2d[:n_windows]
+    B, F = w2d.shape[0], receptive_field
+    x2d_flip = w2d.copy()
+    x2d_flip[..., 0] *= -1
+    x2d_flip = x2d_flip[:, :, dataset.flip_permutation]
+
+    rng = np.random.RandomState(0)
+    init_noise = rng.randn(B, P, F, cfg.num_kps, 3).astype(np.float32)
+    step_noise = rng.randn(S, B, P, F, cfg.num_kps, 3).astype(np.float32)
+
+    consumed = {"i": -1}
+
+    def fake_randn(*shape, **kwargs):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, torch.Size)):
+            shape = tuple(shape[0])
+        if consumed["i"] == -1:
+            consumed["i"] = 0
+            return torch.from_numpy(init_noise.reshape(shape))
+        i = consumed["i"]
+        consumed["i"] += 1
+        return torch.from_numpy(step_noise[i].reshape(shape))
+
+    orig_randn, orig_like = torch.randn, torch.randn_like
+    torch.randn = fake_randn
+    torch.randn_like = lambda t: fake_randn(tuple(t.shape))
+    try:
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(w2d), None,
+                          input_2d_flip=torch.from_numpy(x2d_flip)).numpy()
+    finally:
+        torch.randn, torch.randn_like = orig_randn, orig_like
+
+    # force f32 + XLA attention for an apples-to-apples numerics check
+    from pafuse_tpu.diffusion import D3DP, D3DPConfig
+    import dataclasses
+    ours = D3DP(dataclasses.replace(cfg, num_proposals=P,
+                                    sampling_timesteps=S),
+                flip_permutation=dataset.flip_permutation)
+    out = np.asarray(ours.ddim_sample(
+        params, jax.random.PRNGKey(1), jnp.asarray(w2d),
+        jnp.asarray(x2d_flip), init_noise=init_noise,
+        step_noise=step_noise))
+    delta_mm = float(np.abs(out - ref_out).max()) * 1000.0
+    return delta_mm
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    missing = [p for p in (os.path.join(a.data_dir, "train_h3wb.npz"),
+                           a.checkpoint) if not os.path.exists(p)]
+    if missing:
+        print("Missing required artifacts:")
+        for m in missing:
+            print(f"  {m}")
+        print("Mount the official H3WB npz files and the released "
+              "pafuse_model.bin, then re-run.")
+        return 2
+
+    import numpy as np
+    import jax
+    from pafuse_tpu import checkpoints, evaluate as ev
+    from pafuse_tpu.data import h3wb
+    from pafuse_tpu.diffusion import D3DP, D3DPConfig
+    from pafuse_tpu.cli.main_h3wb import collect_actions
+
+    print("Loading real dataset...")
+    dataset = h3wb.load_real(a.data_dir)
+    keypoints = h3wb.prepare_data(dataset)
+    subjects = a.subjects.split(",")
+
+    op_points = []
+    for tok in a.op_points.split(","):
+        P, T = tok.lower().split("x")
+        op_points.append((int(P), int(T)))
+
+    cfg = D3DPConfig(frames=a.frames, timesteps=a.timestep, depth=a.dep,
+                     num_proposals=op_points[0][0],
+                     sampling_timesteps=op_points[0][1])
+    model = D3DP(cfg, flip_permutation=dataset.flip_permutation)
+    params = model.init_params(jax.random.PRNGKey(0))
+    print(f"Converting {a.checkpoint} ...")
+    params = checkpoints.load_torch_checkpoint(
+        a.checkpoint, params, part_based=cfg.part_based)["params"]
+
+    lines = ["# PARITY_REAL — real-checkpoint parity report", ""]
+    ok = True
+
+    if a.impl_windows > 0:
+        print("Implementation check (torch reference vs ours, identical "
+              "weights + noise, real 2D windows)...")
+        delta_mm = implementation_check(
+            model, params, dataset, keypoints, subjects, a.impl_windows,
+            a.frames)
+        lines += [f"## Implementation parity (P=2,T=2, "
+                  f"{a.impl_windows} real windows)",
+                  "",
+                  f"max |ours - reference| = **{delta_mm:.4f} mm** "
+                  "(same weights, same injected noise)", ""]
+        print(f"  max deviation: {delta_mm:.4f} mm")
+        ok &= delta_mm < a.budget_mm
+
+    # map reference logs to op points: by H{P}_K{T} in filename, else order
+    ref_logs = {}
+    unmatched = list(a.reference_log)
+    for path in list(unmatched):
+        m = re.search(r"H(\d+)_K(\d+)", os.path.basename(path))
+        if m:
+            ref_logs[(int(m.group(1)), int(m.group(2)))] = path
+            unmatched.remove(path)
+    for (pt, path) in zip([p for p in op_points if p not in ref_logs],
+                          unmatched):
+        ref_logs[pt] = path
+
+    all_actions, _ = collect_actions(dataset, subjects)
+    for (P, T) in op_points:
+        print(f"Evaluating S8 at P={P}, T={T} ...")
+        pin = ev.pinned_window_batch(
+            [kp for s in subjects for act in keypoints[s]
+             for kp in keypoints[s][act]], a.frames)
+        per_action = {}
+        for action_key in sorted(all_actions):
+            cams, p3d, p2d = h3wb.fetch_actions(
+                all_actions[action_key], keypoints, dataset)
+            acc, _ = ev.evaluate_sequences(
+                model, params, zip(cams, p3d, p2d), None,
+                receptive_field=a.frames, num_proposals=P,
+                sampling_timesteps=T, window_batch=pin)
+            per_action[action_key] = acc.means_mm()
+        avg = {k: float(np.atleast_1d(np.mean(
+            [m[k] for m in per_action.values()], axis=0))[-1])
+            for k in METRICS}
+
+        lines += [f"## Op-point P={P}, T={T} (S8, action-wise average, "
+                  "final DDIM step)", ""]
+        ref_vals = (parse_reference_log(ref_logs[(P, T)])
+                    if (P, T) in ref_logs else None)
+        if ref_vals:
+            lines += ["| metric | ours (mm) | reference (mm) | delta (mm) | "
+                      "within ±{:.1f}mm |".format(a.budget_mm),
+                      "|---|---|---|---|---|"]
+            for k in METRICS:
+                d = avg[k] - ref_vals.get(k, float("nan"))
+                within = abs(d) <= a.budget_mm
+                ok &= within
+                lines.append(f"| {k} | {avg[k]:.3f} | "
+                             f"{ref_vals.get(k, float('nan')):.3f} | "
+                             f"{d:+.3f} | {'yes' if within else '**NO**'} |")
+        else:
+            lines += ["| metric | ours (mm) |", "|---|---|"]
+            lines += [f"| {k} | {avg[k]:.3f} |" for k in METRICS]
+            lines += ["", "_No reference log supplied for this op-point; "
+                      "run the reference eval and pass --reference-log._"]
+        lines.append("")
+        print(json.dumps({f"P{P}T{T}": avg}))
+
+    verdict = ("PASS — all comparisons within budget" if ok
+               else "FAIL — at least one comparison exceeded the budget")
+    lines += ["## Verdict", "", verdict, ""]
+    with open(a.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"Wrote {a.out}: {verdict}")
+    return 0 if ok else 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())
