@@ -35,7 +35,7 @@ def measure_ours() -> float:
     import numpy as np
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
     from pafuse_tpu.ops.attention import select_attention_fn
-    from pafuse_tpu.utils.backend import enable_compilation_cache
+    from pafuse_tpu.utils.backend import enable_compilation_cache, sync
     enable_compilation_cache()
 
     cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
@@ -60,14 +60,16 @@ def measure_ours() -> float:
         return model.ddim_sample(params, key, x2d, x2d_flip)
 
     key = jax.random.PRNGKey(1)
-    out = sample(params, key, x2d, x2d_flip)
-    out.block_until_ready()  # compile
+    sync(sample(params, key, x2d, x2d_flip))  # compile + full execution
 
-    n_iters = 5
+    # Timing note: block_until_ready does NOT synchronize through tunneled
+    # PJRT plugins; every iteration must end in a host readback that
+    # data-depends on the result (utils.backend.sync) or throughput is
+    # overstated by orders of magnitude.
+    n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = sample(params, jax.random.fold_in(key, i), x2d, x2d_flip)
-    out.block_until_ready()
+        sync(sample(params, jax.random.fold_in(key, i), x2d, x2d_flip))
     dt = time.perf_counter() - t0
     frames = n_iters * WINDOWS * FRAMES
     return frames / dt

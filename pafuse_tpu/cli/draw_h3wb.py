@@ -112,9 +112,21 @@ def main(argv=None):
     gt_world = np.asarray(geometry.camera_to_world(gt_abs, R, t))
     hyp_world = np.asarray(geometry.camera_to_world(stitched, R, t))
 
+    # joint-position export (main_draw_h3wb.py:424-427)
+    if args.viz.viz_export:
+        print("Exporting joint positions to", args.viz.viz_export)
+        np.save(args.viz.viz_export, stitched)
+
     out_dir = os.path.join("plot", f"{subject}_{action}_{cam_idx}".replace(" ", "_"))
+    skip = max(1, int(args.viz.viz_downsample))
     viz.draw_3d_image_select(hyp_world, sel_world, gt_world, out_dir,
-                             azim=float(cam.get("azimuth", 70.0)))
+                             azim=float(cam.get("azimuth", 70.0)),
+                             frame_skip=skip)
+    # GT vs each hypothesis, every 5th frame like the reference
+    # (visualization.py:372-449)
+    viz.draw_3d_image_hypotheses(hyp_world, gt_world, out_dir,
+                                 azim=float(cam.get("azimuth", 70.0)),
+                                 frame_skip=5 * skip)
     print(f"Wrote renders to {out_dir}")
 
 

@@ -189,6 +189,32 @@ def main(argv=None):
     viz.draw_3d_image(world[-1:], None, out_dir, azim=70.0,
                       max_frames=int(args.viz.viz_limit)
                       if args.viz.viz_limit and args.viz.viz_limit > 0 else None)
+
+    # animated gif/mp4 with the source video as 2D backdrop (capability of
+    # common/visualization.py:726-909; honors viz_skip/viz_downsample/
+    # viz_limit/viz_size/viz_bitrate)
+    if args.viz.viz_output:
+        def frame_image(idx):
+            path = os.path.join(out_dir, f"frame_{idx}.jpg")
+            if os.path.exists(path):
+                import matplotlib.image as mpimg
+                return mpimg.imread(path)
+            return None
+
+        mean_pose = world[-1].mean(axis=0)  # final step, hypothesis mean
+        kp_px = np.asarray(geometry.image_coordinates(
+            keypoints.copy(), w=w, h=h))
+        anim_out = os.path.join(out_dir, os.path.basename(args.viz.viz_output))
+        written = viz.render_animation(
+            {"reconstruction": mean_pose}, int(fps), anim_out,
+            bitrate=int(args.viz.viz_bitrate), limit=int(args.viz.viz_limit),
+            size=float(args.viz.viz_size), keypoints_2d=kp_px,
+            viewport=(w, h),
+            input_video_frames=frame_image if os.path.exists(video_path) else None,
+            input_video_skip=int(args.viz.viz_skip),
+            downsample=int(args.viz.viz_downsample))
+        print(f"Wrote animation to {written}")
+
     print(f"total spend {time.time() - t0:.2f} seconds; renders in {out_dir}")
     print("To make a video: ffmpeg -framerate 25 -i "
           f"{out_dir}/frame%d_t0.png -pix_fmt yuv420p {out_dir}/{video_name}.mp4")

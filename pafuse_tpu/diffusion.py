@@ -127,7 +127,7 @@ class D3DP:
                  parts_joint_indices: Optional[Dict[str, List[int]]] = None,
                  flip_permutation: Optional[np.ndarray] = None,
                  compute_dtype=jnp.float32, attention_fn=None,
-                 remat: bool = False):
+                 remat: bool = False, packed_parts: bool = False):
         self.cfg = cfg
         self.schedule = make_schedule(cfg.timesteps)
         self.compute_dtype = compute_dtype
@@ -140,7 +140,7 @@ class D3DP:
         else:
             specs = monolithic_spec(cfg.num_kps, cfg.frames, cfg.input_size,
                                     cfg.cs, cfg.depth, cfg.drop_path_rate)
-        self.model = PartModel(specs)
+        self.model = PartModel(specs, packed=packed_parts and cfg.part_based)
         if flip_permutation is not None:
             self.flip_permutation = np.asarray(flip_permutation, np.int32)
         elif cfg.num_kps == sk.NUM_JOINTS:
@@ -279,6 +279,10 @@ class D3DP:
         x2d_tiled = jnp.repeat(x2d, H, axis=0)  # (B*H, F, N, 2)
         x2d_flip_tiled = (jnp.repeat(x2d_flip, H, axis=0)
                           if x2d_flip is not None else None)
+
+        # pack the part networks ONCE, outside the scan (no-op when the
+        # unpacked execution strategy is active)
+        params = self.model.prepare(params, train=False)
 
         rng, r_init = jax.random.split(rng)
         img0 = (jnp.asarray(init_noise, jnp.float32) if init_noise is not None

@@ -169,7 +169,13 @@ def _attention(p: Params, x, num_heads: int, compute_dtype):
 
     attn = jnp.einsum("...ld,...md->...lm", q, k,
                       preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(attn, axis=-1).astype(compute_dtype)
+    # Store the (..., L, L) logits in the compute dtype: at the P=20 eval
+    # op-point this tensor (L lane-padded to 128) dominates HBM; keeping it
+    # bf16 halves peak memory.  The softmax itself still runs in f32 (XLA
+    # fuses the up/down casts into the surrounding loops), and in f32 mode
+    # these casts are no-ops so strict-parity numerics are unchanged.
+    attn = attn.astype(compute_dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(compute_dtype)
     out = jnp.einsum("...lm,...md->...ld", attn, v,
                      preferred_element_type=jnp.float32).astype(compute_dtype)
     out = jnp.moveaxis(out, -3, -2).reshape(*lead, L, C)

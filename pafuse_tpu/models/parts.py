@@ -68,9 +68,19 @@ def monolithic_spec(num_joints: int, num_frames: int, in_chans: int,
 
 
 class PartModel:
-    """Applies one MixSTE per part and reassembles the whole-body output."""
+    """Applies one MixSTE per part and reassembles the whole-body output.
 
-    def __init__(self, specs: List[PartSpec]):
+    Two execution strategies (SURVEY §7 "benchmark both"):
+
+    * **unpacked** (default): one subgraph per part inside the same jit;
+      XLA schedules them back-to-back.
+    * **packed** (``packed=True``): parts padded to a common (J, C) and run
+      as ONE vmapped call with masked LayerNorm/softmax
+      (:mod:`pafuse_tpu.models.packed`); eval-only (stochastic depth needs
+      the unpacked path), numerics match unpacked to <=1e-5 in f32.
+    """
+
+    def __init__(self, specs: List[PartSpec], packed: bool = False):
         self.specs = specs
         concat_order = np.concatenate([s.joint_indices for s in specs])
         self.num_joints = int(concat_order.max()) + 1
@@ -79,6 +89,10 @@ class PartModel:
         # inverse permutation: output[concat_order[i]] = concat[i]
         self._inverse = np.argsort(concat_order).astype(np.int32)
         self._is_identity = bool(np.all(concat_order == np.arange(self.num_joints)))
+        self.packed = bool(packed) and len(specs) > 1
+        if self.packed:
+            from pafuse_tpu.models import packed as pk
+            self._plan = pk.make_pack_plan(specs)
 
     # -- params -------------------------------------------------------------
     def init_params(self, key) -> Dict[str, Any]:
@@ -89,12 +103,30 @@ class PartModel:
     def param_count(self, params) -> int:
         return mixste.param_count(params)
 
+    # -- packed-execution support --------------------------------------------
+    def prepare(self, params: Dict[str, Any], train: bool = False):
+        """Pre-transform params for repeated application (e.g. once before a
+        DDIM ``lax.scan`` instead of per step): packs them when packed
+        execution applies, else returns them unchanged."""
+        if self.packed and not train:
+            from pafuse_tpu.models import packed as pk
+            return {"__packed__": pk.pack_params(params, self.specs,
+                                                 self._plan)}
+        return params
+
     # -- forward ------------------------------------------------------------
     def __call__(self, params: Dict[str, Any], x2d, x3d, t, *,
                  train: bool = False, rng=None,
                  compute_dtype=jnp.float32, attention_fn=None,
                  remat: bool = False):
         """Denoise: (B,F,N,2) x (B,F,N,3) x (B,) -> (B,F,N,3)."""
+        if isinstance(params, dict) and "__packed__" in params:
+            from pafuse_tpu.models import packed as pk
+            return pk.packed_forward(params["__packed__"], self._plan,
+                                     x2d, x3d, t, compute_dtype=compute_dtype)
+        if self.packed and not train:
+            return self(self.prepare(params), x2d, x3d, t,
+                        compute_dtype=compute_dtype)
         outs = []
         rngs = (jax.random.split(rng, len(self.specs))
                 if rng is not None else [None] * len(self.specs))

@@ -41,3 +41,23 @@ def ensure_backend():
                       "falling back to automatic platform selection")
         jax.config.update("jax_platforms", "")
         return jax.devices()
+
+
+def sync(x) -> float:
+    """Force completion of the computation producing ``x`` and return a
+    checksum scalar.
+
+    ``jax.block_until_ready`` does NOT reliably synchronize through tunneled
+    PJRT plugins (executions keep enqueueing asynchronously and "ready"
+    resolves early, inflating naive throughput measurements by orders of
+    magnitude).  A host readback of a value that data-depends on the result
+    is the only honest barrier: this reduces ``x`` to one scalar on device
+    and fetches it.  Use this in every timing loop.
+    """
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(x)
+    total = 0.0
+    for leaf in leaves:
+        total += float(jnp.sum(jnp.abs(jnp.asarray(leaf).astype(jnp.float32))))
+    return total

@@ -93,16 +93,18 @@ def profile_trace(logdir: str):
 def measure_throughput(fn: Callable, *args, iters: int = 5,
                        warmup: int = 1, items_per_call: int = 1,
                        **kwargs) -> Dict[str, float]:
-    """Wall-clock throughput of a jitted callable with proper device sync."""
-    import jax
-    out = None
+    """Wall-clock throughput of a jitted callable with HONEST device sync.
+
+    ``block_until_ready`` does not reliably synchronize through tunneled
+    PJRT backends, so every iteration ends in a host readback that
+    data-depends on the result (utils.backend.sync).
+    """
+    from pafuse_tpu.utils.backend import sync
     for _ in range(warmup):
-        out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+        sync(fn(*args, **kwargs))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+        sync(fn(*args, **kwargs))
     dt = time.perf_counter() - t0
     return {"seconds_per_call": dt / iters,
             "items_per_second": items_per_call * iters / dt}

@@ -126,9 +126,62 @@ def draw_3d_image(predictions: np.ndarray, gt: Optional[np.ndarray],
             plt.close(fig)
 
 
+def draw_3d_image_hypotheses(predictions: np.ndarray, gt: np.ndarray,
+                             out_dir: str, *, azim: float = 70.0,
+                             frame_skip: int = 5, steps: str = "last",
+                             prefix: str = "", linewidth: float = 0.5,
+                             max_frames: Optional[int] = None):
+    """GT vs EACH hypothesis (reference ``draw_3d_image``,
+    common/visualization.py:372-449): one figure per frame/step with the GT
+    skeleton in solid blue and every hypothesis dashed in its own tableau
+    color; poses root-centered and scaled to millimeters like the reference.
+
+    predictions: (S, H, F, J, 3); gt: (F, J, 3).  ``steps``: 'last' renders
+    only the final DDIM step (reference behavior), 'all' renders each.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.colors as mcolors
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    colors = list(mcolors.TABLEAU_COLORS.values())
+    S, H, F = predictions.shape[:3]
+    step_range = range(S - 1, S) if steps == "last" else range(S)
+    frames = range(0, min(F, max_frames) if max_frames else F,
+                   max(1, frame_skip))
+    for f in frames:
+        gt_c = (gt[f] - gt[f, 0:1]) * 1000.0
+        for s in step_range:
+            pred_c = (predictions[s, :, f]
+                      - predictions[s, :, f, 0:1]) * 1000.0  # (H, J, 3)
+            fig = plt.figure()
+            ax = _new_3d_axis(fig, 1, 1, 1, azim=azim - 70.0, radius=1500.0)
+            ax.set_zlim3d([-750.0, 750.0])
+            ax.set_xlim3d([-500.0, 500.0])
+            ax.set_ylim3d([-500.0, 500.0])
+            for h in range(H):
+                for child, parent, _ in LIMBS:
+                    ax.plot([pred_c[h, child, 0], pred_c[h, parent, 0]],
+                            [pred_c[h, child, 1], pred_c[h, parent, 1]],
+                            [pred_c[h, child, 2], pred_c[h, parent, 2]],
+                            zdir="z", linestyle="--", linewidth=linewidth,
+                            c=colors[h % len(colors)])
+            for child, parent, _ in LIMBS:
+                ax.plot([gt_c[child, 0], gt_c[parent, 0]],
+                        [gt_c[child, 1], gt_c[parent, 1]],
+                        [gt_c[child, 2], gt_c[parent, 2]],
+                        zdir="z", c="blue", linewidth=0.9)
+            fig.savefig(os.path.join(out_dir,
+                                     f"{prefix}hyp_f{f}_t{s}.png"),
+                        bbox_inches="tight", pad_inches=0.0, dpi=150)
+            plt.close(fig)
+
+
 def draw_3d_image_select(predictions: np.ndarray, selected: np.ndarray,
                          gt: np.ndarray, out_dir: str, *,
-                         azim: float = 70.0, max_frames: Optional[int] = None):
+                         azim: float = 70.0, max_frames: Optional[int] = None,
+                         frame_skip: int = 1):
     """GT (blue) + J-Agg-selected prediction (red) per frame and step
     (capability of common/visualization.py:451-565, driven by
     main_draw_h3wb.py:660-667).
@@ -141,7 +194,8 @@ def draw_3d_image_select(predictions: np.ndarray, selected: np.ndarray,
 
     os.makedirs(out_dir, exist_ok=True)
     S, H, F = predictions.shape[:3]
-    frames = range(min(F, max_frames) if max_frames else F)
+    frames = range(0, min(F, max_frames) if max_frames else F,
+                   max(1, frame_skip))
     for f in frames:
         for s in range(S):
             fig = plt.figure(figsize=(6, 6))
@@ -157,24 +211,47 @@ def render_animation(poses: Dict[str, np.ndarray], fps: int, output: str, *,
                      azim: float = 70.0, bitrate: int = 3000,
                      limit: int = -1, size: float = 5.0,
                      keypoints_2d: Optional[np.ndarray] = None,
-                     viewport=(1000, 1002)):
+                     viewport=(1000, 1002),
+                     input_video_frames=None, input_video_skip: int = 0,
+                     downsample: int = 1):
     """Animate named 3D pose sequences side by side to mp4/gif
-    (capability of common/visualization.py:726-909)."""
+    (capability of common/visualization.py:726-909).
+
+    ``input_video_frames``: the source video as a backdrop behind the 2D
+    keypoint overlay — a (T, H, W, 3) array, a list of images, or a callable
+    ``frame_index -> image`` (reference reads the video with ffmpeg,
+    visualization.py:838-846).  ``input_video_skip`` skips that many leading
+    video frames (reference ``viz_skip``); ``downsample`` renders every Nth
+    pose frame (reference ``viz_downsample``).
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
     names = list(poses.keys())
-    n = len(names) + (1 if keypoints_2d is not None else 0)
+    with_2d = keypoints_2d is not None or input_video_frames is not None
+    n = len(names) + (1 if with_2d else 0)
     frames = min(p.shape[0] for p in poses.values())
     if limit > 0:
         frames = min(frames, limit)
+    downsample = max(1, downsample)
+    frame_ids = list(range(0, frames, downsample))
+
+    def _bg(f):
+        if input_video_frames is None:
+            return None
+        idx = f + input_video_skip
+        if callable(input_video_frames):
+            return input_video_frames(idx)
+        if idx < len(input_video_frames):
+            return input_video_frames[idx]
+        return None
 
     fig = plt.figure(figsize=(size * n, size))
     axes3d, ax2d = [], None
     col = 1
-    if keypoints_2d is not None:
+    if with_2d:
         ax2d = fig.add_subplot(1, n, 1)
         ax2d.set_xlim(0, viewport[0])
         ax2d.set_ylim(viewport[1], 0)
@@ -197,20 +274,29 @@ def render_animation(poses: Dict[str, np.ndarray], fps: int, output: str, *,
                 line.remove()
             for coll in list(ax2d.collections):
                 coll.remove()
-            draw_skeleton_2d(ax2d, keypoints_2d[f])
+            for im in list(ax2d.images):
+                im.remove()
+            bg = _bg(f)
+            if bg is not None:
+                ax2d.imshow(bg, extent=(0, viewport[0], viewport[1], 0),
+                            aspect="auto", zorder=0)
+            if keypoints_2d is not None:
+                draw_skeleton_2d(ax2d, keypoints_2d[f])
         for ax, name in zip(axes3d, names):
             draw_skeleton(ax, poses[name][f])
         return []
 
-    anim = FuncAnimation(fig, update, frames=frames, interval=1000.0 / fps)
+    anim = FuncAnimation(fig, update, frames=frame_ids,
+                         interval=1000.0 * downsample / fps)
+    eff_fps = max(1, int(round(fps / downsample)))  # reference: fps /= downsample
     if output.endswith(".mp4"):
         try:
-            anim.save(output, fps=fps, bitrate=bitrate, writer="ffmpeg")
+            anim.save(output, fps=eff_fps, bitrate=bitrate, writer="ffmpeg")
         except Exception:
             output = output[:-4] + ".gif"
-            anim.save(output, fps=fps, writer="pillow")
+            anim.save(output, fps=eff_fps, writer="pillow")
     elif output.endswith(".gif"):
-        anim.save(output, fps=fps, writer="pillow")
+        anim.save(output, fps=eff_fps, writer="pillow")
     else:
         raise ValueError(f"Unsupported output format: {output}")
     plt.close(fig)
