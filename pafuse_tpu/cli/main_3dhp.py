@@ -46,7 +46,8 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
                      else jnp.float32)
     return D3DP(cfg, flip_permutation=sk.FLIP_PERMUTATION_3DHP,
                 compute_dtype=compute_dtype,
-                attention_fn=select_attention_fn(args.tpu.use_pallas))
+                attention_fn=select_attention_fn(args.tpu.use_pallas,
+                                                 train=is_train))
 
 
 def evaluate_3dhp(model, params, test_data, args, rng=None,

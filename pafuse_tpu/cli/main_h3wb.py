@@ -49,7 +49,8 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
     )
     return D3DP(cfg, flip_permutation=flip_permutation,
                 compute_dtype=compute_dtype,
-                attention_fn=select_attention_fn(args.tpu.use_pallas),
+                attention_fn=select_attention_fn(args.tpu.use_pallas,
+                                                 train=is_train),
                 remat=bool(args.tpu.remat))
 
 
@@ -103,11 +104,19 @@ def _run(args, mlflow_on: bool = False):
     from pafuse_tpu.data import h3wb, sampling
     from pafuse_tpu.utils.backend import ensure_backend
 
+    if args.tpu.matmul_precision != "default":
+        # TPU f32 dots default to single-pass bf16 multiplication; 'highest'
+        # forces exact f32 (slower) for strict numeric-parity runs
+        jax.config.update("jax_default_matmul_precision",
+                          args.tpu.matmul_precision)
     print(f"JAX devices: {ensure_backend()}")
 
     # ---- data ------------------------------------------------------------
     print("Loading dataset...")
-    dataset = h3wb.load_dataset(args.data.data_dir, args.data.synthetic)
+    dataset = h3wb.load_dataset(
+        args.data.data_dir, args.data.synthetic,
+        actions_per_subject=int(args.data.synthetic_actions),
+        frames_per_action=int(args.data.synthetic_frames))
     keypoints = h3wb.prepare_data(dataset)
 
     subjects_train = args.data.subjects_train.split(",")

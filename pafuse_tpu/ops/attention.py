@@ -158,17 +158,22 @@ def pallas_attention(p, x, num_heads: int, compute_dtype,
     return out.reshape(*lead, L, C)
 
 
-def select_attention_fn(use_pallas="auto"):
-    """Pick the attention implementation per config (``tpu.use_pallas``)."""
+def select_attention_fn(use_pallas="auto", *, train: bool = False):
+    """Pick the attention implementation per config (``tpu.use_pallas``).
+
+    ``auto`` (honest-timing A/B, round 2): the fused Pallas kernel wins
+    decisively at the model level — 729 vs 1709 ms per flagship denoiser
+    pass at the P=20,T=10 batch (B_eff=320, bf16) — because the XLA path
+    materializes per-head transposed q/k/v and lane-padded logits in HBM
+    while the kernel keeps the whole attention in VMEM.  (Round 1 had
+    concluded the opposite from timings inflated by the tunnel's broken
+    ``block_until_ready``.)  Pallas applies to INFERENCE only: the kernel
+    defines no custom VJP, so training (``train=True``) keeps the XLA path
+    for autodiff.  On CPU backends ``pallas_attention`` self-falls-back to
+    XLA.
+    """
     if use_pallas is True or str(use_pallas).lower() == "true":
         return pallas_attention
     if use_pallas is False or str(use_pallas).lower() == "false":
         return None  # mixste default (XLA)
-    # auto: XLA everywhere.  Measured on v5e: the fused Pallas kernel wins
-    # per-op on isolated MixSTE-sized attentions (1.52ms vs 1.92ms at
-    # B=512, L=21, C=256) but LOSES at the full-model level (489.6 vs
-    # 614.6 frames/sec at the P=20,T=10 op-point) — inside the model XLA
-    # fuses the surrounding elementwise work into its attention matmuls,
-    # while the pallas_call is a fusion barrier and pays lane-padding on
-    # L=68 face tokens.  Pallas stays opt-in via ``tpu.use_pallas=true``.
-    return None
+    return None if train else pallas_attention
