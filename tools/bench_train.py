@@ -45,7 +45,10 @@ def main(batch_frames: int = 1024, iters: int = 10, remat: int = 0, donate: int 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step(state, jnp.float32(6e-5), x2d, x3d)
-    float(loss)
+        # per-step host readback, like the production loop: honest timing
+        # (deep async enqueue chains behave pathologically through tunneled
+        # backends) and the loss is consumed every step in training anyway
+        float(loss)
     dt = time.perf_counter() - t0
     fps = iters * seqs * frames / dt
     print({"train_frames_per_sec": round(fps, 1),
