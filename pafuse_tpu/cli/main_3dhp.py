@@ -25,7 +25,7 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
     import jax.numpy as jnp
     from pafuse_tpu import skeleton as sk
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
-    from pafuse_tpu.ops.attention import select_attention_fn
+    from pafuse_tpu.ops.attention import select_attention_fn, select_block_fn
 
     cfg = D3DPConfig(
         frames=args.model.number_of_frames,
@@ -47,7 +47,9 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
     return D3DP(cfg, flip_permutation=sk.FLIP_PERMUTATION_3DHP,
                 compute_dtype=compute_dtype,
                 attention_fn=select_attention_fn(args.tpu.use_pallas,
-                                                 train=is_train))
+                                                 train=is_train),
+                block_fn=select_block_fn(args.tpu.use_pallas,
+                                         train=is_train))
 
 
 def evaluate_3dhp(model, params, test_data, args, rng=None,

@@ -208,15 +208,25 @@ def _block_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                   bproj_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
                   bfc2_ref, nos_ref, nob_ref, out_ref, *, num_heads: int,
                   seq_len: int, head_dim: int):
-    x = x_ref[:].astype(jnp.float32)                      # (TB, Lp, C)
-    tb, lp, c = x.shape
+    """Matmuls run in the compute dtype of ``x_ref`` (bf16 at the bench
+    op-point — single-pass MXU; f32 mode keeps exact math) with f32
+    accumulation; LayerNorm statistics, softmax and GELU in f32 — the same
+    numeric contract as the XLA path."""
+    xin = x_ref[:]                                         # (TB, Lp, C)
+    cd = xin.dtype
+    tb, lp, c = xin.shape
+    f32 = jnp.float32
 
-    h = _ln_f32(x, n1s_ref, n1b_ref)
-    qkv = jax.lax.dot_general(
-        h.reshape(tb * lp, c), wqkv_ref[:].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bqkv_ref[:]
-    qkv = qkv.reshape(tb, lp, 3 * c)
+    def dot2d(a, w_ref, b_ref):
+        y = jax.lax.dot_general(
+            a.reshape(tb * lp, c) if a.ndim == 3 else a,
+            w_ref[:].astype(cd),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32) + b_ref[:]
+        return y
+
+    h = _ln_f32(xin.astype(f32), n1s_ref, n1b_ref).astype(cd)
+    qkv = dot2d(h, wqkv_ref, bqkv_ref).astype(cd).reshape(tb, lp, 3 * c)
 
     scale = head_dim ** -0.5
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, lp, lp), 2)
@@ -227,33 +237,27 @@ def _block_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         v = qkv[:, :, 2 * c + hh * head_dim: 2 * c + (hh + 1) * head_dim]
         attn = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=f32) * scale
         attn = jnp.where(col < seq_len, attn, -1e30)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(cd)
         head_outs.append(jax.lax.dot_general(
             attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
-    ao = jnp.concatenate(head_outs, axis=-1)
-    ao = jax.lax.dot_general(
-        ao.reshape(tb * lp, c), wproj_ref[:].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bproj_ref[:]
-    x = x + ao.reshape(tb, lp, c)
+            preferred_element_type=f32).astype(cd))
+    ao = jnp.concatenate(head_outs, axis=-1)               # (TB, Lp, C) cd
+    ao = dot2d(ao, wproj_ref, bproj_ref).astype(cd)
+    x = xin + ao.reshape(tb, lp, c)
 
-    h = _ln_f32(x, n2s_ref, n2b_ref)
-    hdn = jax.lax.dot_general(
-        h.reshape(tb * lp, c), wfc1_ref[:].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bfc1_ref[:]
+    h = _ln_f32(x.astype(f32), n2s_ref, n2b_ref).astype(cd)
+    hdn = dot2d(h, wfc1_ref, bfc1_ref)                     # f32
     # exact-GELU via the A&S erf approximation (<=1.5e-7 vs true erf)
-    hdn = 0.5 * hdn * (1.0 + _erf_as(hdn * 0.7071067811865476))
+    hdn = (0.5 * hdn * (1.0 + _erf_as(hdn * 0.7071067811865476))).astype(cd)
     mo = jax.lax.dot_general(
-        hdn, wfc2_ref[:].astype(jnp.float32),
+        hdn, wfc2_ref[:].astype(cd),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bfc2_ref[:]
-    x = x + mo.reshape(tb, lp, c)
+        preferred_element_type=f32) + bfc2_ref[:]
+    x = x + mo.astype(cd).reshape(tb, lp, c)
 
-    x = _ln_f32(x, nos_ref, nob_ref)                      # outer Spatial/Temporal norm
+    x = _ln_f32(x.astype(f32), nos_ref, nob_ref)           # outer S/T norm
     out_ref[:] = x.astype(out_ref.dtype)
 
 
