@@ -267,7 +267,7 @@ def _run(args, mlflow_on: bool = False):
                 acc, _ = ev.evaluate_sequences(
                     model_eval_final, state.params, seqs, args,
                     receptive_field=receptive_field, num_proposals=1,
-                    sampling_timesteps=1, window_batch=pin_bs,
+                    sampling_timesteps=1, window_batch=pin_bs, mesh=mesh,
                     quickdebug=quickdebug)
                 means = acc.means_mm()
                 val_mm = float(np.atleast_1d(means["P_Best"])[0])
@@ -356,7 +356,7 @@ def _run(args, mlflow_on: bool = False):
                 receptive_field=receptive_field,
                 num_proposals=args.ft2d.num_proposals,
                 sampling_timesteps=args.ft2d.sampling_timesteps,
-                window_batch=pin_bs,
+                window_batch=pin_bs, mesh=mesh,
                 quickdebug=args.ft2d.debug, collect_p2=args.ft2d.p2)
             means = acc.means_mm()
             p2m = p2.means_mm() if (p2 is not None and p2.n > 0) else None

@@ -52,7 +52,8 @@ class EvalAccumulator:
 
 
 def get_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
-                  part_based: bool = True, with_p2_data: bool = False):
+                  part_based: bool = True, with_p2_data: bool = False,
+                  mesh=None):
     """Memoized ``build_eval_step``: one jitted step per (model, P, T, flags)
     so repeated per-action evaluation reuses the same jit cache instead of
     re-tracing/recompiling for every action."""
@@ -60,16 +61,18 @@ def get_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
     if cache is None:
         cache = {}
         model._eval_step_cache = cache
-    key = (num_proposals, sampling_timesteps, part_based, with_p2_data)
+    key = (num_proposals, sampling_timesteps, part_based, with_p2_data,
+           id(mesh) if mesh is not None else None)
     if key not in cache:
         cache[key] = build_eval_step(model, num_proposals, sampling_timesteps,
                                      part_based=part_based,
-                                     with_p2_data=with_p2_data)
+                                     with_p2_data=with_p2_data, mesh=mesh)
     return cache[key]
 
 
 def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
-                    part_based: bool = True, with_p2_data: bool = False):
+                    part_based: bool = True, with_p2_data: bool = False,
+                    mesh=None):
     """Returns jitted
     ``step(params, rng, x2d, x2d_flip, x3d_parts, traj, cam, mask) -> metrics``
     operating on one fixed-size window batch.
@@ -134,6 +137,13 @@ def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
             out["_x2d"] = x2d
         return out
 
+    if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+        # multi-chip eval: window batch sharded over the data axis, params
+        # replicated; XLA SPMD inserts the metric all-reduces over ICI
+        from pafuse_tpu.parallel.mesh import data_sharding, replicated
+        repl, data = replicated(mesh), data_sharding(mesh)
+        return jax.jit(step, in_shardings=(
+            repl, repl, data, data, data, data, data, data))
     return jax.jit(step)
 
 
@@ -155,6 +165,7 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                        num_proposals: int = 10, sampling_timesteps: int = 5,
                        sub_batch: int = 64,
                        window_batch: Optional[int] = None,
+                       mesh=None,
                        quickdebug: bool = False,
                        collect_p2: bool = False,
                        return_predictions: bool = False,
@@ -170,7 +181,8 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     step = get_eval_step(model, num_proposals, sampling_timesteps,
                          part_based=part_based,
-                         with_p2_data=collect_p2 or return_predictions)
+                         with_p2_data=collect_p2 or return_predictions,
+                         mesh=mesh)
     acc = EvalAccumulator()
     p2_acc = EvalAccumulator()
     all_preds = []
@@ -191,6 +203,9 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
             n = max(1, -(-frames // receptive_field))  # window_indices count
             max_windows = max(max_windows, n)
         bs = min(sub_batch, 1 << (max_windows - 1).bit_length())
+    if mesh is not None:
+        n_dev = int(np.prod(mesh.devices.shape))
+        bs = -(-max(bs, n_dev) // n_dev) * n_dev  # even shards per device
 
     for cam, seq_3d, seq_2d in sequences:
         x2d_flip_seq = geometry.flip_pose_np(

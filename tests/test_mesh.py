@@ -37,3 +37,36 @@ def test_replicated_spec():
     m = pm.make_mesh((-1,), ("data",))
     x = jax.device_put(jnp.ones(4), pm.replicated(m))
     assert x.sharding.is_fully_replicated
+
+
+def test_sharded_eval_step_matches_single_device():
+    """Multi-chip eval (window batch sharded over the data mesh) must
+    produce the same metrics as the single-device path."""
+    import jax
+    import jax.numpy as jnp
+    from pafuse_tpu import evaluate as ev, geometry
+    from pafuse_tpu.diffusion import D3DP, D3DPConfig
+
+    model = D3DP(D3DPConfig(frames=9, timesteps=20, depth=1))
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    B = 8
+    x2d = jnp.asarray(rng.randn(B, 9, 134, 2), np.float32)
+    x3d = jnp.asarray(rng.randn(B, 9, 134, 3), np.float32) * 0.1
+    traj = x3d[:, :, :1]
+    gt_parts = geometry.center_pose_parts(x3d)
+    cam = jnp.tile(jnp.asarray(rng.rand(9), jnp.float32), (B, 1))
+    mask = jnp.ones((B,), jnp.float32)
+
+    # fixed noise so both paths sample identically
+    key = jax.random.PRNGKey(1)
+    single = ev.get_eval_step(model, 2, 2)
+    mesh = pm.make_mesh((8,), ("data",))
+    sharded = ev.get_eval_step(model, 2, 2, mesh=mesh)
+    assert single is not sharded
+
+    m1 = single(params, key, x2d, x2d, gt_parts, traj, cam, mask)
+    m2 = sharded(params, key, x2d, x2d, gt_parts, traj, cam, mask)
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   atol=1e-5, rtol=1e-5)
