@@ -69,10 +69,14 @@ def save_state(folder: str, tag: str, *, params: Any, opt_state: Any = None,
     """Write ``{folder}/{tag}.npz`` (native equivalent of logging.py:83-115).
 
     ``log_in_mlf`` attaches the file as an MLflow artifact when a run is
-    active (reference: logging.py:112-115).
+    active (reference: logging.py:112-115).  In multi-host deployments only
+    process 0 writes (params are replicated; everyone else returns the
+    would-be path).
     """
-    os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, f"{tag}.npz")
+    if jax.process_index() != 0:
+        return path
+    os.makedirs(folder, exist_ok=True)
 
     arrays = {f"params/{k}": v for k, v in _flatten_tree(
         jax.device_get(params)).items()}

@@ -60,3 +60,26 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     sharding = data_sharding(mesh, axis)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_hybrid_mesh(ici_per_host: int = -1, axis_names=("data",),
+                     dcn_axis_name: str = "hosts"):
+    """DCN-aware mesh for multi-host deployments.
+
+    Lays devices out so the minor (fast-varying) axis stays on ICI within a
+    host and the major axis spans hosts over DCN — collectives ride ICI,
+    only the cross-host reduce crosses DCN.  On a single host this reduces
+    to :func:`make_mesh`.  Data-parallel training flattens both axes into
+    one `data` axis, so the same `pjit` code runs unchanged; the layout only
+    controls which pairs of shards are ICI-adjacent.
+    """
+    import jax
+    n_hosts = jax.process_count()
+    if n_hosts <= 1:
+        return make_mesh((ici_per_host,), axis_names)
+    from jax.experimental import mesh_utils
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(len(jax.devices()) // n_hosts,),
+        dcn_mesh_shape=(n_hosts,),
+    )
+    return Mesh(devices.reshape(-1), tuple(axis_names))

@@ -172,3 +172,33 @@ def test_in_the_wild_lift(tiny_setup, tmp_path):
     out = lift_video(args, kp, state.params, model)
     assert out.shape == (2, 2, 23, 134, 3)
     assert np.all(np.isfinite(out))
+
+
+def test_in_the_wild_cli_full(tmp_path, monkeypatch):
+    """Full in-the-wild CLI: OpenPifPaf JSON -> lifting -> npy outputs ->
+    per-frame renders -> animated gif (no video file: keypoints-only
+    backdrop branch)."""
+    import json
+    rng = np.random.RandomState(0)
+    lines = []
+    for _ in range(12):
+        kp = np.column_stack([rng.uniform(100, 900, 133),
+                              rng.uniform(100, 900, 133),
+                              np.full(133, 0.9)]).ravel().tolist()
+        lines.append(json.dumps({"predictions": [{"keypoints": kp}]}))
+    (tmp_path / "vid.mp4.openpifpaf.json").write_text("\n".join(lines))
+
+    monkeypatch.chdir(tmp_path)
+    from pafuse_tpu.cli import in_the_wild
+    in_the_wild.main([
+        f"in_the_wild.video_path={tmp_path}/vid.mp4",
+        "model.number_of_frames=9", "model.dep=1", "model.batch_size=36",
+        "ft2d.timestep=20", "ft2d.sampling_timesteps=1",
+        "ft2d.num_proposals=2", "viz.viz_limit=2",
+        "viz.viz_output=anim.gif", "viz.viz_downsample=2",
+    ])
+    out = tmp_path / "outputs" / "vid"
+    assert (out / "test_3d_vid_output.npy").exists()
+    assert (out / "test_3d_output_vid_postprocess.npy").exists()
+    assert list(out.glob("frame*_t*.png"))
+    assert (out / "anim.gif").exists() and (out / "anim.gif").stat().st_size > 0

@@ -70,3 +70,10 @@ def test_sharded_eval_step_matches_single_device():
     for k in m1:
         np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_hybrid_mesh_single_host_fallback():
+    m = pm.make_hybrid_mesh(-1, ("data",))
+    import jax
+    assert int(np.prod(m.devices.shape)) == len(jax.devices())
+    assert m.axis_names == ("data",)
