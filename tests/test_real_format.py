@@ -35,10 +35,20 @@ def _make_reference_npz(tmp_path, frames=12):
 
     train_data = {"S1": {"Walking 1": action()},
                   "S5": {"Sitting 1": action()}}
-    # metadata side lists are 0-based over the 133 pre-root joints
-    # (the reference shifts them by +1 itself, h3wb_dataset.py:34-38)
-    metadata = {"left_side": [j - 1 for j in sk.JOINTS_LEFT],
-                "right_side": [j - 1 for j in sk.JOINTS_RIGHT]}
+    # full metadata record in the official layout: 0-based part lists over
+    # the 133 pre-root joints, side lists (the reference shifts them by +1
+    # itself, h3wb_dataset.py:34-38), and per-subject camera entries
+    metadata = {
+        "left_side": [j - 1 for j in sk.JOINTS_LEFT],
+        "right_side": [j - 1 for j in sk.JOINTS_RIGHT],
+        "body": list(range(17)),
+        "left_foot": [17, 18, 19], "right_foot": [20, 21, 22],
+        "face": list(range(23, 91)),
+        "left_hand": list(range(91, 112)),
+        "right_hand": list(range(112, 133)),
+    }
+    for subj in ("S1", "S5", "S8"):
+        metadata[subj] = {cam: {"id": cam} for cam in cam_ids}
     np.savez(tmp_path / "train_h3wb.npz",
              train_data=np.array(train_data, dtype=object),
              metadata=np.array(metadata, dtype=object))

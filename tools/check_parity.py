@@ -53,6 +53,8 @@ def parse_args(argv=None):
                    help="reference eval log(s) to diff against (repeatable; "
                         "matched to op-points by their H{P}_K{T} filename or "
                         "in order)")
+    p.add_argument("--skip-data-check", action="store_true",
+                   help="skip the loader-vs-reference data-prep comparison")
     p.add_argument("--impl-windows", type=int, default=2,
                    help="windows of real data for the torch-vs-ours "
                         "implementation check (0 = skip)")
@@ -78,6 +80,51 @@ def parse_reference_log(path):
             if m and m.group(1) in METRICS:
                 out[m.group(1)] = float(m.group(2))  # later steps overwrite
     return out
+
+
+def data_prep_check(data_dir, dataset):
+    """Load the same npz through the REFERENCE's Human3WBDataset (read-only
+    import) and compare every prepared array and metadata table against our
+    loader — catches data-prep divergence (root injection, per-camera
+    arrays, part tables, symmetry) before any model runs.
+
+    Returns the number of compared arrays; raises AssertionError on any
+    mismatch."""
+    import numpy as np
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from common.h3wb_dataset import Human3WBDataset as RefDS
+
+    ref = RefDS(os.path.join(data_dir, "train_h3wb.npz"))
+    # metadata tables
+    assert ref.root_indices == dataset.root_indices
+    assert ref.parts_connection_indices == dataset.parts_connection_indices
+    for part, idx in ref.parts_joint_indices.items():
+        assert list(idx) == list(dataset.parts_joint_indices[part]), part
+    left, right = ref.keypoints_metadata["keypoints_symmetry"]
+    assert list(left) == list(dataset.joints_left)
+    assert list(right) == list(dataset.joints_right)
+
+    n = 0
+    for subject in ref.subjects():
+        for action in ref[subject].keys():
+            r = ref[subject][action]
+            o = dataset[subject][action]
+            np.testing.assert_array_equal(
+                np.asarray(r["positions"], np.float32), o["positions"],
+                err_msg=f"{subject}/{action} positions")
+            for c in range(len(r["positions_3d"])):
+                np.testing.assert_array_equal(
+                    np.asarray(r["positions_3d"][c], np.float32),
+                    o["positions_3d"][c],
+                    err_msg=f"{subject}/{action} cam{c} 3d")
+                np.testing.assert_array_equal(
+                    np.asarray(r["pose_2d"][c], np.float32),
+                    o["pose_2d"][c],
+                    err_msg=f"{subject}/{action} cam{c} 2d")
+                n += 2
+            n += 1
+    return n
 
 
 def implementation_check(model, params, dataset, keypoints, subjects,
@@ -202,6 +249,17 @@ def main(argv=None):
 
     print("Loading real dataset...")
     dataset = h3wb.load_real(a.data_dir)
+
+    lines_prep = []
+    if not a.skip_data_check:
+        print("Data-prep parity vs the reference loader...")
+        n_arrays = data_prep_check(a.data_dir, dataset)
+        print(f"  {n_arrays} arrays bit-identical")
+        lines_prep = ["## Data preparation parity", "",
+                      f"{n_arrays} prepared arrays (global/per-camera 3D, "
+                      "2D) bit-identical to the reference loader; part "
+                      "tables and symmetry lists equal.", ""]
+
     keypoints = h3wb.prepare_data(dataset)
     subjects = a.subjects.split(",")
 
@@ -220,6 +278,7 @@ def main(argv=None):
         a.checkpoint, params, part_based=cfg.part_based)["params"]
 
     lines = ["# PARITY_REAL — real-checkpoint parity report", ""]
+    lines += lines_prep
     ok = True
 
     if a.impl_windows > 0:
