@@ -69,6 +69,15 @@ def evaluate_3dhp(model, params, test_data, args, rng=None,
                                   num_proposals=num_proposals,
                                   sampling_timesteps=sampling_timesteps)
 
+    # one padded window-batch shape for every sequence (pow-2 bucket of the
+    # largest): a single jit specialization instead of one per sequence
+    # length; padded windows carry valid=0 so the masked metric ignores them
+    bs = 1
+    for arrs in test_data.values():
+        nw = max(1, -(-arrs["data_2d"].shape[0] // rf))
+        bs = max(bs, nw)
+    bs = 1 << (bs - 1).bit_length()
+
     total_err = None
     total_err_agg = None
     n = 0
@@ -81,6 +90,13 @@ def evaluate_3dhp(model, params, test_data, args, rng=None,
         wflip, _ = win.eval_data_prepare(rf, flip)
         idx = win.window_indices(p2.shape[0], rf)
         wvalid = valid[idx]
+
+        pad = bs - w2d.shape[0]
+        if pad > 0:
+            zpad = lambda a: np.concatenate(  # noqa: E731
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            w2d, wflip, w3d = zpad(w2d), zpad(wflip), zpad(w3d)
+            wvalid = zpad(wvalid.astype(np.float32))
 
         rng, sub = jax.random.split(rng)
         preds = sample(params, sub, jnp.asarray(w2d), jnp.asarray(wflip))
