@@ -40,6 +40,10 @@ def main(batch_frames: int = 1024, iters: int = 10, remat: int = 0, donate: int 
     t0 = time.perf_counter()
     state, loss = step(state, jnp.float32(6e-5), x2d, x3d)
     float(loss)
+    # second warmup step: with donated buffers the first repeat call
+    # recompiles for the aliased-input layout
+    state, loss = step(state, jnp.float32(6e-5), x2d, x3d)
+    float(loss)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
