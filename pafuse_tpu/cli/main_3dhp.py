@@ -44,12 +44,16 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
     )
     compute_dtype = (jnp.bfloat16 if args.tpu.compute_dtype == "bfloat16"
                      else jnp.float32)
+    from pafuse_tpu.ops.block_grad import select_train_block_fn
     return D3DP(cfg, flip_permutation=sk.FLIP_PERMUTATION_3DHP,
                 compute_dtype=compute_dtype,
                 attention_fn=select_attention_fn(args.tpu.use_pallas,
                                                  train=is_train),
                 block_fn=select_block_fn(args.tpu.use_pallas,
-                                         train=is_train))
+                                         train=is_train),
+                train_block_fn=select_train_block_fn(
+                    getattr(args.tpu, "train_kernel", "auto"),
+                    train=is_train))
 
 
 def evaluate_3dhp(model, params, test_data, args, rng=None,

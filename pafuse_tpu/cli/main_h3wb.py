@@ -47,12 +47,16 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
         drop_path_rate=0.1 if is_train else 0.0,
         test_time_augmentation=args.model.test_time_augmentation,
     )
+    from pafuse_tpu.ops.block_grad import select_train_block_fn
     return D3DP(cfg, flip_permutation=flip_permutation,
                 compute_dtype=compute_dtype,
                 attention_fn=select_attention_fn(args.tpu.use_pallas,
                                                  train=is_train),
                 block_fn=select_block_fn(args.tpu.use_pallas,
                                          train=is_train),
+                train_block_fn=select_train_block_fn(
+                    getattr(args.tpu, "train_kernel", "auto"),
+                    train=is_train),
                 remat=bool(args.tpu.remat))
 
 

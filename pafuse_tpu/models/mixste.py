@@ -223,10 +223,26 @@ def sinusoidal_time_embedding(t, dim: int):
 # Full forward
 # ---------------------------------------------------------------------------
 
+def _branch_masks(rng, rate: float, batch: int, reps: int):
+    """Per-sample stochastic-depth scale factors for the two residual
+    branches, repeated over the second leading dim (frames or joints) to
+    match the flattened tile layout of the fused train kernel.  Bit-
+    identical to :func:`_drop_path`'s draws (same key split, same element
+    count)."""
+    if rate <= 0.0 or rng is None:
+        m = jnp.ones((batch * reps,), jnp.float32)
+        return m, m
+    r1, r2 = jax.random.split(rng)
+    keep = 1.0 - rate
+    m1 = jax.random.bernoulli(r1, keep, (batch,)).astype(jnp.float32) / keep
+    m2 = jax.random.bernoulli(r2, keep, (batch,)).astype(jnp.float32) / keep
+    return jnp.repeat(m1, reps), jnp.repeat(m2, reps)
+
+
 def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
                    train: bool = False, rng=None,
                    compute_dtype=jnp.float32, attention_fn=None,
-                   block_fn=None, remat: bool = False):
+                   block_fn=None, train_block_fn=None, remat: bool = False):
     """Denoise one window.
 
     Args:
@@ -255,14 +271,26 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
 
     # block_fn: optional fused whole-block kernel (LN1+attn+LN2+MLP+outer
     # LN in one pass, ops/attention.pallas_block); eval-only (no stochastic
-    # depth) and may return None to decline (e.g. CPU backend)
+    # depth) and may return None to decline (e.g. CPU backend).
+    # train_block_fn: the trainable variant (custom Pallas VJP,
+    # ops/block_grad) with stochastic depth via per-sample branch masks.
     use_block = block_fn is not None and not train
+    use_train_block = train_block_fn is not None and train
 
     def ste(i, x_bfnc):
         # spatial attention: tokens = joints
         if use_block:
             y = block_fn(params["STEblocks"][i], params["Spatial_norm"],
                          x_bfnc, cfg.num_heads, compute_dtype)
+            if y is not None:
+                return y
+        if use_train_block:
+            m1, m2 = _branch_masks(rngs[2 * i], float(dprs[i]),
+                                   x_bfnc.shape[0], x_bfnc.shape[1])
+            y = train_block_fn(params["STEblocks"][i],
+                               params["Spatial_norm"],
+                               x_bfnc.astype(compute_dtype), m1, m2,
+                               cfg.num_heads)
             if y is not None:
                 return y
         return _layernorm(
@@ -277,6 +305,15 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
         if use_block:
             y = block_fn(params["TTEblocks"][i], params["Temporal_norm"],
                          x_bnfc, cfg.num_heads, compute_dtype)
+            if y is not None:
+                return jnp.swapaxes(y, 1, 2)
+        if use_train_block:
+            m1, m2 = _branch_masks(rngs[2 * i + 1], float(dprs[i]),
+                                   x_bnfc.shape[0], x_bnfc.shape[1])
+            y = train_block_fn(params["TTEblocks"][i],
+                               params["Temporal_norm"],
+                               x_bnfc.astype(compute_dtype), m1, m2,
+                               cfg.num_heads)
             if y is not None:
                 return jnp.swapaxes(y, 1, 2)
         y = _block(params["TTEblocks"][i], x_bnfc, cfg.num_heads, compute_dtype,
@@ -294,7 +331,10 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
             #  the first temporal block only, mixste.py:247-251)
         return tte(i, x)
 
-    layer_fn = jax.checkpoint(layer, static_argnums=(0,)) if remat else layer
+    # the trainable kernel's backward already recomputes in VMEM, so remat
+    # on top would only add a redundant forward pass
+    layer_fn = (jax.checkpoint(layer, static_argnums=(0,))
+                if remat and not use_train_block else layer)
     for i in range(cfg.depth):
         x = layer_fn(i, x)
 

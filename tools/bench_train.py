@@ -13,12 +13,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(batch_frames: int = 1024, iters: int = 10, remat: int = 0, donate: int = 1):
+def main(batch_frames: int = 1024, iters: int = 10, remat: int = 0,
+         donate: int = 1, use_kernel: int = 0):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from pafuse_tpu import train as tr
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
+    from pafuse_tpu.ops.block_grad import select_train_block_fn
     from pafuse_tpu.utils.backend import enable_compilation_cache, ensure_backend
 
     enable_compilation_cache()
@@ -28,7 +30,8 @@ def main(batch_frames: int = 1024, iters: int = 10, remat: int = 0, donate: int 
 
     cfg = D3DPConfig(drop_path_rate=0.1)
     dtype = jnp.bfloat16 if devices[0].platform != "cpu" else jnp.float32
-    model = D3DP(cfg, compute_dtype=dtype, remat=bool(remat))
+    model = D3DP(cfg, compute_dtype=dtype, remat=bool(remat),
+                 train_block_fn=select_train_block_fn(bool(use_kernel)))
     state, tx = tr.create_train_state(model, seed=0)
     mesh = tr.make_mesh((-1,), ("data",))
     step = tr.build_train_step(model, tx, mesh=mesh, donate=bool(donate))
@@ -57,6 +60,7 @@ def main(batch_frames: int = 1024, iters: int = 10, remat: int = 0, donate: int 
     fps = iters * seqs * frames / dt
     print({"train_frames_per_sec": round(fps, 1),
            "seqs_per_batch": seqs, "remat": bool(remat),
+           "train_kernel": bool(use_kernel),
            "compile_s": round(compile_s, 1),
            "steps_per_sec": round(iters / dt, 3)})
 
