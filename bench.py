@@ -41,16 +41,18 @@ def measure_ours() -> float:
 
     cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
                      sampling_timesteps=SAMPLING_TIMESTEPS)
-    from pafuse_tpu.ops.attention import select_block_fn
+    from pafuse_tpu.ops.attention import select_block_fn, select_layer_fn
     dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
-    # auto = fused Pallas attention on TPU (2.34x over the XLA path at this
-    # op-point, honest timing).  PAFUSE_BENCH_PALLAS=0 forces the XLA path;
-    # PAFUSE_BENCH_PALLAS=block benches the fused whole-block kernel.
+    # auto = fused whole-BLOCK Pallas kernel on TPU (best measured config).
+    # PAFUSE_BENCH_PALLAS=0 forces the XLA path; =attn the attention-only
+    # kernel; =layer the whole-layer kernel (documented negative result).
     env = os.environ.get("PAFUSE_BENCH_PALLAS", "")
-    use = {"0": "false", "block": "block"}.get(env, "auto")
+    use = {"0": "false", "attn": "true", "block": "block",
+           "layer": "layer"}.get(env, "auto")
     model = D3DP(cfg, compute_dtype=dtype,
                  attention_fn=select_attention_fn(use),
-                 block_fn=select_block_fn(use))
+                 block_fn=select_block_fn(use),
+                 layer_fn=select_layer_fn(use))
     params = model.init_params(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)

@@ -25,7 +25,7 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
     import jax.numpy as jnp
     from pafuse_tpu import skeleton as sk
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
-    from pafuse_tpu.ops.attention import select_attention_fn, select_block_fn
+    from pafuse_tpu.ops.attention import (select_attention_fn, select_block_fn, select_layer_fn)
 
     cfg = D3DPConfig(
         frames=args.model.number_of_frames,
@@ -50,6 +50,8 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
                 attention_fn=select_attention_fn(args.tpu.use_pallas,
                                                  train=is_train),
                 block_fn=select_block_fn(args.tpu.use_pallas,
+                                         train=is_train),
+                layer_fn=select_layer_fn(args.tpu.use_pallas,
                                          train=is_train),
                 train_block_fn=select_train_block_fn(
                     getattr(args.tpu, "train_kernel", "auto"),

@@ -242,7 +242,8 @@ def _branch_masks(rng, rate: float, batch: int, reps: int):
 def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
                    train: bool = False, rng=None,
                    compute_dtype=jnp.float32, attention_fn=None,
-                   block_fn=None, train_block_fn=None, remat: bool = False):
+                   block_fn=None, train_block_fn=None, layer_fn=None,
+                   remat: bool = False):
     """Denoise one window.
 
     Args:
@@ -276,6 +277,10 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
     # ops/block_grad) with stochastic depth via per-sample branch masks.
     use_block = block_fn is not None and not train
     use_train_block = train_block_fn is not None and train
+    # layer_fn: optional fused whole-layer kernel (spatial block -> temporal
+    # pos embed -> temporal block in one VMEM pass, ops/attention.pallas_layer);
+    # eval-only, may return None to decline (e.g. CPU backend).
+    use_layer = layer_fn is not None and not train
 
     def ste(i, x_bfnc):
         # spatial attention: tokens = joints
@@ -323,6 +328,15 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
         return jnp.swapaxes(y, 1, 2)
 
     def layer(i, x):
+        if use_layer:
+            y = layer_fn(params["STEblocks"][i], params["Spatial_norm"],
+                         params["TTEblocks"][i], params["Temporal_norm"],
+                         x.astype(compute_dtype), cfg.num_heads,
+                         compute_dtype,
+                         tpe=(params["Temporal_pos_embed"][0]
+                              if i == 0 else None))
+            if y is not None:
+                return y
         x = ste(i, x)
         if i == 0:
             # (1, F, C) -> broadcast over batch and joints in (B, F, N, C)
@@ -333,10 +347,10 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
 
     # the trainable kernel's backward already recomputes in VMEM, so remat
     # on top would only add a redundant forward pass
-    layer_fn = (jax.checkpoint(layer, static_argnums=(0,))
-                if remat and not use_train_block else layer)
+    layer_impl = (jax.checkpoint(layer, static_argnums=(0,))
+                  if remat and not use_train_block else layer)
     for i in range(cfg.depth):
-        x = layer_fn(i, x)
+        x = layer_impl(i, x)
 
     # Regression head (LayerNorm eps=1e-5 — torch default — then Linear->3).
     x = _layernorm(params["head"]["norm"], x, eps=1e-5)

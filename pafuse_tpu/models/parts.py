@@ -118,7 +118,8 @@ class PartModel:
     def __call__(self, params: Dict[str, Any], x2d, x3d, t, *,
                  train: bool = False, rng=None,
                  compute_dtype=jnp.float32, attention_fn=None,
-                 block_fn=None, train_block_fn=None, remat: bool = False):
+                 block_fn=None, train_block_fn=None, layer_fn=None,
+                 remat: bool = False):
         """Denoise: (B,F,N,2) x (B,F,N,3) x (B,) -> (B,F,N,3)."""
         if isinstance(params, dict) and "__packed__" in params:
             from pafuse_tpu.models import packed as pk
@@ -137,7 +138,8 @@ class PartModel:
                 jnp.take(x2d, idx, axis=-2), jnp.take(x3d, idx, axis=-2), t,
                 train=train, rng=r, compute_dtype=compute_dtype,
                 attention_fn=attention_fn, block_fn=block_fn,
-                train_block_fn=train_block_fn, remat=remat)
+                train_block_fn=train_block_fn, layer_fn=layer_fn,
+                remat=remat)
             outs.append(out)
         merged = jnp.concatenate(outs, axis=-2)
         if self._is_identity:

@@ -204,32 +204,63 @@ def _ln_f32(x, scale_ref, bias_ref, eps=1e-6):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale_ref[:] + bias_ref[:]
 
 
-def _block_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                  bproj_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
-                  bfc2_ref, nos_ref, nob_ref, out_ref, *, num_heads: int,
-                  seq_len: int, head_dim: int):
-    """Matmuls run in the compute dtype of ``x_ref`` (bf16 at the bench
-    op-point — single-pass MXU; f32 mode keeps exact math) with f32
-    accumulation; LayerNorm statistics, softmax and GELU in f32 — the same
-    numeric contract as the XLA path."""
-    xin = x_ref[:]                                         # (TB, Lp, C)
+def _block_body(xin, n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1,
+                bfc1, wfc2, bfc2, nos, nob, *, num_heads: int, seq_len: int,
+                head_dim: int):
+    """Whole transformer block + outer LayerNorm on VMEM-resident arrays.
+
+    Matmuls run in the compute dtype of ``xin`` (bf16 at the bench op-point —
+    single-pass MXU; f32 mode keeps exact math) with f32 accumulation;
+    LayerNorm statistics, softmax and GELU in f32 — the same numeric contract
+    as the XLA path.  xin: (TB, Lp, C); params are plain f32 arrays.
+    Returns (TB, Lp, C) in the compute dtype.
+    """
     cd = xin.dtype
     tb, lp, c = xin.shape
     f32 = jnp.float32
 
-    def dot2d(a, w_ref, b_ref):
+    def ln(x, s, b):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-6) * s + b
+
+    def dot2d(a, w, b):
         y = jax.lax.dot_general(
             a.reshape(tb * lp, c) if a.ndim == 3 else a,
-            w_ref[:].astype(cd),
+            w.astype(cd),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32) + b_ref[:]
+            preferred_element_type=f32) + b
         return y
 
-    h = _ln_f32(xin.astype(f32), n1s_ref, n1b_ref).astype(cd)
-    qkv = dot2d(h, wqkv_ref, bqkv_ref).astype(cd).reshape(tb, lp, 3 * c)
+    h = ln(xin.astype(f32), n1s, n1b).astype(cd)
+    qkv = dot2d(h, wqkv, bqkv).astype(cd)                  # (TB*Lp, 3C)
+
+    # Group-packed attention (measured policy, see docs/ROADMAP.md): for
+    # short token axes (Lp <= 32) fold groups of g samples into the token
+    # axis so each head's logits/AV are (TB/g)-batched matmuls over
+    # rows = g*Lp ~ 192, with a block-diagonal softmax mask — Mosaic unrolls
+    # batched dot_generals, so fewer/bigger matmuls win (26.4 vs 30.1
+    # ms/block at the flagship body shape).  Full packing (g = TB) loses:
+    # the O((g*Lp)^2) mask/softmax VPU work overtakes the matmul savings.
+    # For long token axes (face, Lp = 72) plain per-head batched matmuls
+    # measured fastest — grouping only grows the already-dominant logits.
+    g = (192 // lp) if lp <= 32 else 1
+    if g < 2 or tb % g:
+        g = 1
+    nb, rows = tb // g, g * lp
+    qkv = qkv.reshape(nb, rows, 3 * c)
 
     scale = head_dim ** -0.5
-    col = jax.lax.broadcasted_iota(jnp.int32, (tb, lp, lp), 2)
+    if g > 1:
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // lp
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        mask = ((row_blk == col_idx // lp)
+                & (col_idx % lp < seq_len))[None]           # (1, rows, rows)
+    elif lp != seq_len:
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (nb, rows, rows), 2)
+                < seq_len)
+    else:
+        mask = None                                         # nothing padded
     head_outs = []
     for hh in range(num_heads):
         q = qkv[:, :, hh * head_dim:(hh + 1) * head_dim]
@@ -237,36 +268,60 @@ def _block_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         v = qkv[:, :, 2 * c + hh * head_dim: 2 * c + (hh + 1) * head_dim]
         attn = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f32) * scale
-        attn = jnp.where(col < seq_len, attn, -1e30)
+            preferred_element_type=f32) * scale             # (nb, rows, rows)
+        if mask is not None:
+            attn = jnp.where(mask, attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1).astype(cd)
         head_outs.append(jax.lax.dot_general(
             attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32).astype(cd))
-    ao = jnp.concatenate(head_outs, axis=-1)               # (TB, Lp, C) cd
-    ao = dot2d(ao, wproj_ref, bproj_ref).astype(cd)
+    ao = jnp.concatenate(head_outs, axis=-1)               # (nb, rows, C) cd
+    ao = dot2d(ao.reshape(tb * lp, c), wproj, bproj).astype(cd)
     x = xin + ao.reshape(tb, lp, c)
 
-    h = _ln_f32(x.astype(f32), n2s_ref, n2b_ref).astype(cd)
-    hdn = dot2d(h, wfc1_ref, bfc1_ref)                     # f32
+    h = ln(x.astype(f32), n2s, n2b).astype(cd)
+    hdn = dot2d(h, wfc1, bfc1)                             # f32
     # exact-GELU via the A&S erf approximation (<=1.5e-7 vs true erf)
     hdn = (0.5 * hdn * (1.0 + _erf_as(hdn * 0.7071067811865476))).astype(cd)
     mo = jax.lax.dot_general(
-        hdn, wfc2_ref[:].astype(cd),
+        hdn, wfc2.astype(cd),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32) + bfc2_ref[:]
+        preferred_element_type=f32) + bfc2
     x = x + mo.astype(cd).reshape(tb, lp, c)
 
-    x = _ln_f32(x.astype(f32), nos_ref, nob_ref)           # outer S/T norm
-    out_ref[:] = x.astype(out_ref.dtype)
+    x = ln(x.astype(f32), nos, nob)                        # outer S/T norm
+    return x.astype(cd)
+
+
+def _block_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                  bproj_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+                  bfc2_ref, nos_ref, nob_ref, out_ref, *, num_heads: int,
+                  seq_len: int, head_dim: int, pad_to: int):
+    x = x_ref[:]
+    if pad_to != x.shape[1]:
+        # token padding happens HERE, in VMEM: an HBM-side jnp.pad would
+        # materialize a full padded copy of the activation tensor (and the
+        # [:, :L] unpad another) around every kernel call.
+        x = jnp.pad(x, ((0, 0), (0, pad_to - x.shape[1]), (0, 0)))
+    y = _block_body(
+        x, n1s_ref[:], n1b_ref[:], wqkv_ref[:], bqkv_ref[:],
+        wproj_ref[:], bproj_ref[:], n2s_ref[:], n2b_ref[:], wfc1_ref[:],
+        bfc1_ref[:], wfc2_ref[:], bfc2_ref[:], nos_ref[:], nob_ref[:],
+        num_heads=num_heads, seq_len=seq_len, head_dim=head_dim)
+    out_ref[:] = y[:, :seq_len].astype(out_ref.dtype)
 
 
 def pallas_block(block_params, outer_norm, x, num_heads: int, compute_dtype,
-                 batch_tile: int = 32):
+                 batch_tile: Optional[int] = None):
     """Fused transformer block + outer LayerNorm.
 
     Replaces ``_layernorm(outer, _block(params, x, ...))`` on the eval path
     (no stochastic depth).  x: (..., L, C).
+
+    ``batch_tile`` defaults to ~768 packed rows per tile (TB = 768 // Lp):
+    the dense-packed attention runs its logits/AV as (TB*Lp)-row 2D matmuls,
+    and ~768 rows balances MXU occupancy against the O((TB*Lp)^2) VPU
+    softmax + the TB x logit-FLOP padding waste.
     """
     if not _HAS_PALLAS:
         return None  # caller falls back
@@ -281,57 +336,43 @@ def pallas_block(block_params, outer_norm, x, num_heads: int, compute_dtype,
     B = int(np.prod(lead)) if lead else 1
     head_dim = C // num_heads
     Lp = _round_up(L, 8)
+    if batch_tile is None:
+        batch_tile = max(1, 768 // Lp)
     xf = x.reshape(B, L, C)
-    if Lp != L:
-        xf = jnp.pad(xf, ((0, 0), (0, Lp - L), (0, 0)))
     TB = min(batch_tile, B)
     Bp = _round_up(B, TB)
     if Bp != B:
         xf = jnp.pad(xf, ((0, Bp - B), (0, 0), (0, 0)))
 
     f32 = jnp.float32
-    args = [
-        xf.astype(compute_dtype),
-        block_params["norm1"]["scale"].astype(f32),
-        block_params["norm1"]["bias"].astype(f32),
-        block_params["attn"]["qkv"]["kernel"].astype(f32),
-        block_params["attn"]["qkv"]["bias"].astype(f32),
-        block_params["attn"]["proj"]["kernel"].astype(f32),
-        block_params["attn"]["proj"]["bias"].astype(f32),
-        block_params["norm2"]["scale"].astype(f32),
-        block_params["norm2"]["bias"].astype(f32),
-        block_params["mlp"]["fc1"]["kernel"].astype(f32),
-        block_params["mlp"]["fc1"]["bias"].astype(f32),
-        block_params["mlp"]["fc2"]["kernel"].astype(f32),
-        block_params["mlp"]["fc2"]["bias"].astype(f32),
-        outer_norm["scale"].astype(f32),
-        outer_norm["bias"].astype(f32),
-    ]
+    args = [xf.astype(compute_dtype)]
+    args += [a.astype(f32)
+             for a in _flatten_block_params(block_params, outer_norm)]
     hidden = block_params["mlp"]["fc1"]["kernel"].shape[1]
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     mat = lambda m, n: pl.BlockSpec((m, n), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((TB, Lp, C), lambda i: (i, 0, 0),
+        pl.BlockSpec((TB, L, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         vec(C), vec(C), mat(C, 3 * C), vec(3 * C), mat(C, C), vec(C),
         vec(C), vec(C), mat(C, hidden), vec(hidden), mat(hidden, C), vec(C),
         vec(C), vec(C),
     ]
     kernel = functools.partial(_block_kernel, num_heads=num_heads,
-                               seq_len=L, head_dim=head_dim)
+                               seq_len=L, head_dim=head_dim, pad_to=Lp)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // TB,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TB, Lp, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((TB, L, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, Lp, C), compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, C), compute_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*args)
-    return out[:B, :L].reshape(*lead, L, C)
+    return out[:B].reshape(*lead, L, C)
 
 
 def select_block_fn(use_pallas="auto", *, train: bool = False):
@@ -342,3 +383,124 @@ def select_block_fn(use_pallas="auto", *, train: bool = False):
         return None
     return (pallas_block
             if str(use_pallas).lower() in ("block", "auto") else None)
+
+
+# ---------------------------------------------------------------------------
+# Fused LAYER kernel: one MixSTE layer = spatial block -> (+temporal pos
+# embed, layer 0) -> temporal block, all in one VMEM pass.  The spatial and
+# temporal token axes are exposed by an in-VMEM transpose, so the activation
+# tensor touches HBM twice per layer (read+write) instead of eight times
+# (block read/write x2 + explicit swapaxes read/write x2 between them).
+# ---------------------------------------------------------------------------
+
+def _flatten_block_params(bp, outer):
+    """Block param pytree -> the 14-tensor operand order of _block_body."""
+    return [bp["norm1"]["scale"], bp["norm1"]["bias"],
+            bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+            bp["norm2"]["scale"], bp["norm2"]["bias"],
+            bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
+            bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
+            outer["scale"], outer["bias"]]
+
+
+def _layer_kernel(*refs, num_heads: int, n_joints: int, n_frames: int,
+                  head_dim: int, add_tpe: bool):
+    x_ref = refs[0]
+    sp = [r[:] for r in refs[1:15]]       # spatial block + Spatial_norm
+    tp = [r[:] for r in refs[15:29]]      # temporal block + Temporal_norm
+    tpe = refs[29][:] if add_tpe else None
+    out_ref = refs[-1]
+
+    x = x_ref[:]                          # (TB, F, N, C)
+    cd = x.dtype
+    tb, f, n, c = x.shape
+
+    # spatial block: tokens = joints; frames ride the batch dim
+    ys = _block_body(x.reshape(tb * f, n, c), *sp, num_heads=num_heads,
+                     seq_len=n_joints, head_dim=head_dim)
+    ys = ys.reshape(tb, f, n, c)
+    if add_tpe:  # reference adds it before the first temporal block only
+        ys = ys + tpe[None, :, None, :].astype(cd)
+
+    # temporal block: tokens = frames; transpose stays in VMEM
+    yt = jnp.swapaxes(ys, 1, 2).reshape(tb * n, f, c)
+    out = _block_body(yt, *tp, num_heads=num_heads, seq_len=n_frames,
+                      head_dim=head_dim)
+    out = jnp.swapaxes(out.reshape(tb, n, f, c), 1, 2)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def pallas_layer(ste_params, spatial_norm, tte_params, temporal_norm, x,
+                 num_heads: int, compute_dtype, tpe=None,
+                 batch_tile: int = 4):
+    """One full MixSTE layer on ``x``: (B, F, N, C) -> (B, F, N, C).
+
+    Equivalent to ``swapaxes(LN_t(block_t(swapaxes(LN_s(block_s(x)) [+tpe],
+    1, 2))), 1, 2)`` on the eval path (no stochastic depth).  ``tpe`` is the
+    (F, C) temporal position embedding, passed for layer 0 only.
+    Returns None to decline (no pallas / CPU backend).
+    """
+    if not _HAS_PALLAS:
+        return None
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "cpu"
+    if backend == "cpu":
+        return None
+
+    B, F, N, C = x.shape
+    head_dim = C // num_heads
+    TB = min(batch_tile, B)
+    Bp = _round_up(B, TB)
+    xf = x if Bp == B else jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
+
+    f32 = jnp.float32
+    args = [xf.astype(compute_dtype)]
+    args += [a.astype(f32)
+             for a in _flatten_block_params(ste_params, spatial_norm)]
+    args += [a.astype(f32)
+             for a in _flatten_block_params(tte_params, temporal_norm)]
+    add_tpe = tpe is not None
+    if add_tpe:
+        args.append(tpe.reshape(F, C).astype(f32))
+
+    def full_spec(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec((TB, F, N, C), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [full_spec(a) for a in args[1:]]
+
+    kernel = functools.partial(_layer_kernel, num_heads=num_heads,
+                               n_joints=N, n_frames=F, head_dim=head_dim,
+                               add_tpe=add_tpe)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // TB,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TB, F, N, C), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, F, N, C), compute_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+    return out[:B]
+
+
+def select_layer_fn(use_pallas="auto", *, train: bool = False):
+    """Fused whole-LAYER kernel selection (eval only, opt-in).
+
+    Honest A/B at flagship shapes: the layer kernel LOSES to the two-block
+    path (53.7 vs 36.8 ms/layer at B=128, body shapes) — Mosaic unrolls the
+    per-head batched attention matmuls, so compile time caps the batch tile
+    at ~1, and the resulting small per-program matmuls cost more than the
+    HBM transposes the fusion saves (~0.3 ms/layer at these sizes).
+    Documented negative result; kept for explicit ``tpu.use_pallas=layer``
+    experiments."""
+    if train:
+        return None
+    return pallas_layer if str(use_pallas).lower() == "layer" else None

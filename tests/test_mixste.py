@@ -136,3 +136,27 @@ def test_parity_vs_reference_torch(params, rng, train_mode):
             jnp.asarray(t_tiled))).reshape(B, H, 9, 7, 3)
 
     np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_fns_decline_on_cpu(params, rng):
+    """The Pallas kernel hooks (attention/block/layer) must decline on the
+    CPU backend and fall through to the identical plain path, so CLI configs
+    with tpu.use_pallas set run unchanged off-TPU."""
+    from pafuse_tpu.ops import attention as att
+
+    x2d = jnp.asarray(rng.randn(2, 9, 7, 2), jnp.float32)
+    x3d = jnp.asarray(rng.randn(2, 9, 7, 3), jnp.float32)
+    t = jnp.asarray([3, 500])
+    base = mixste.mixste_forward(params, CFG, x2d, x3d, t)
+    for kwargs in ({"attention_fn": att.select_attention_fn("true")},
+                   {"block_fn": att.select_block_fn("block")},
+                   {"layer_fn": att.select_layer_fn("layer")}):
+        out = mixste.mixste_forward(params, CFG, x2d, x3d, t, **kwargs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   rtol=0, atol=1e-6)
+    # selection rules: layer kernel is opt-in, block kernel is the auto
+    # default, training never gets an eval kernel
+    assert att.select_layer_fn("auto") is None
+    assert att.select_block_fn("auto") is att.pallas_block
+    assert att.select_block_fn("auto", train=True) is None
+    assert att.select_layer_fn("layer", train=True) is None
