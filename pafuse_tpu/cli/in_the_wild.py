@@ -97,6 +97,7 @@ def lift_video(args, keypoints_norm: np.ndarray, params, model,
 
     bs = max(1, args.model.batch_size // receptive_field)
     outs = []
+    pending = None
     for start in range(0, w2d.shape[0], bs):
         sl = slice(start, min(start + bs, w2d.shape[0]))
         cur = sl.stop - sl.start
@@ -109,9 +110,17 @@ def lift_video(args, keypoints_norm: np.ndarray, params, model,
             return np.concatenate([a[sl], reps], axis=0)
 
         rng, sub = jax.random.split(rng)
-        out = np.asarray(sample(params, sub, jnp.asarray(padded(w2d)),
-                                jnp.asarray(padded(w2d_flip))))
-        outs.append(out[:cur])
+        # one-deep pipeline (as in evaluate.evaluate_sequences): read back
+        # the previous batch while the device runs this one, so host
+        # padding/transfers overlap device compute without holding more
+        # than one device buffer alive
+        out = sample(params, sub, jnp.asarray(padded(w2d)),
+                     jnp.asarray(padded(w2d_flip)))
+        if pending is not None:
+            outs.append(np.asarray(pending[0])[:pending[1]])
+        pending = (out, cur)
+    if pending is not None:
+        outs.append(np.asarray(pending[0])[:pending[1]])
     preds = np.concatenate(outs, axis=0)              # (W, S, H, F, J, 3)
 
     total = keypoints_norm.shape[0]

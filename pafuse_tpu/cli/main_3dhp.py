@@ -178,16 +178,21 @@ def main(argv=None):
         while epoch < args.model.epochs:
             t0 = time()
             tot, n = 0.0, 0
+            pending = None  # one-deep loss pipeline (see cli/main_h3wb.py)
             for _, b3d, b2d in loader.next_epoch():
                 b2d, real = tr.pad_batch(b2d, seqs_per_batch)
                 b3d, _ = tr.pad_batch(b3d, seqs_per_batch)
                 # train in meters: loss on the (pred*1000 vs mm GT) scale
                 state, loss = step_fn(state, jnp.float32(lr),
                                       jnp.asarray(b2d), jnp.asarray(b3d))
-                tot += float(loss) * real
+                if pending is not None:
+                    tot += float(pending[0]) * pending[1]
+                pending = (loss, real)
                 n += real
                 if args.ft2d.debug:
                     break
+            if pending is not None:
+                tot += float(pending[0]) * pending[1]
             err, err_agg = evaluate_3dhp(model_eval, state.params, test_data,
                                          args)
             print(f"[{epoch + 1}] time {(time() - t0) / 60:.2f} lr {lr:f} "

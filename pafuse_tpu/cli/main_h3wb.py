@@ -247,6 +247,10 @@ def _run(args, mlflow_on: bool = False):
                     os.path.join(args.general.checkpoint, "profile")))
             epoch_loss, n_seen = 0.0, 0
             num_batches = train_gen.batch_num()
+            # one-deep loss pipeline: read step N's loss while step N+1 runs,
+            # so the next batch's host assembly + transfer overlap device
+            # compute (an eager float(loss) would stall the device per step)
+            pending = None
             for it, (camb, b3d, b2d) in enumerate(train_loader.next_epoch()):
                 if it % 10 == 0:
                     print(f"{it}/{num_batches}")
@@ -255,11 +259,14 @@ def _run(args, mlflow_on: bool = False):
                 # per-shard host->device transfer (no replicate-then-reshard)
                 b2d, b3d = tr.shard_batch((b2d, b3d), mesh)
                 state, loss = step_fn(state, jnp.float32(lr), b2d, b3d)
-                loss = float(loss)
-                epoch_loss += real * receptive_field * loss
+                if pending is not None:
+                    epoch_loss += pending[1] * float(pending[0])
+                pending = (loss, real * receptive_field)
                 n_seen += real * receptive_field
                 if quickdebug:
                     break
+            if pending is not None:
+                epoch_loss += pending[1] * float(pending[0])
             prof.close()
             epoch_loss_mm = epoch_loss / max(n_seen, 1) * 1000
             # MLflow per-epoch metrics (reference: main_h3wb.py:892-894,
