@@ -84,17 +84,35 @@ def _parse_value(raw: str) -> Any:
 
 
 def apply_overrides(cfg: ConfigNode, overrides: Iterable[str]) -> ConfigNode:
-    """Apply ``a.b.c=value`` overrides in place (hydra CLI semantics)."""
+    """Apply ``a.b.c=value`` overrides in place (hydra CLI semantics).
+
+    Unknown keys are REJECTED like hydra's strict mode — a typo such as
+    ``ft2d.sampling_timestep=5`` must not silently no-op.  New keys can be
+    added explicitly with hydra's ``+a.b.c=value`` syntax.
+    """
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"Override {ov!r} is not of the form key=value")
         path, raw = ov.split("=", 1)
-        keys = path.strip().split(".")
+        path = path.strip()
+        allow_new = path.startswith("+")
+        if allow_new:
+            path = path[1:]
+        keys = path.split(".")
         node = cfg
-        for k in keys[:-1]:
+        for i, k in enumerate(keys[:-1]):
             if k not in node or not isinstance(node[k], ConfigNode):
+                if not allow_new:
+                    raise KeyError(
+                        f"Unknown config group {'.'.join(keys[:i + 1])!r} "
+                        f"in override {ov!r} (use +{path}=... to add "
+                        "new keys)")
                 node[k] = {}
             node = node[k]
+        if keys[-1] not in node and not allow_new:
+            raise KeyError(
+                f"Unknown config key {path!r} in override {ov!r} "
+                f"(use +{path}=... to add new keys)")
         node[keys[-1]] = _parse_value(raw)
     return cfg
 

@@ -52,3 +52,18 @@ def test_copy_is_independent():
     cfg2 = cfg.copy()
     cfg2.model.epochs = 1
     assert cfg.model.epochs == 400
+
+
+def test_unknown_override_rejected():
+    """Hydra strict-mode semantics: a typo'd key must raise, not silently
+    no-op; +key=value explicitly adds new keys."""
+    import pytest
+    from pafuse_tpu import config as c
+    with pytest.raises(KeyError):
+        c.parse_cli(["ft2d.sampling_timestep=5"])     # typo: missing final s
+    with pytest.raises(KeyError):
+        c.parse_cli(["bogus_group.x=1"])
+    args = c.parse_cli(["+general.brand_new=7"])
+    assert args.general.brand_new == 7
+    args = c.parse_cli(["+newgroup.sub.key=hi"])
+    assert args.newgroup.sub.key == "hi"
