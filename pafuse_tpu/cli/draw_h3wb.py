@@ -96,10 +96,12 @@ def main(argv=None):
 
     # J-Agg selection: reproject all hypotheses, pick per-joint hypothesis
     # minimizing 2D error (main_draw_h3wb.py:462-467)
+    from pafuse_tpu.utils.backend import host_compute
     S, H = stitched.shape[:2]
-    reproj = np.asarray(geometry.project_to_2d(
-        stitched.reshape(S * H * total, 134, 3),
-        np.tile(cam["intrinsic"][None], (S * H * total, 1))))
+    with host_compute():   # host-side post-processing off the accelerator
+        reproj = np.asarray(geometry.project_to_2d(
+            stitched.reshape(S * H * total, 134, 3),
+            np.tile(cam["intrinsic"][None], (S * H * total, 1))))
     reproj = reproj.reshape(S, H, total, 134, 2)
     err2d = np.linalg.norm(reproj - seq_2d[None, None], axis=-1)  # S,H,T,J
     sel = err2d.argmin(axis=1)                                    # S,T,J
@@ -108,9 +110,10 @@ def main(argv=None):
 
     # world coordinates for rendering (main_draw_h3wb.py:440-447)
     R, t = cam["orientation"], cam["translation"]
-    sel_world = np.asarray(geometry.camera_to_world(selected, R, t))
-    gt_world = np.asarray(geometry.camera_to_world(gt_abs, R, t))
-    hyp_world = np.asarray(geometry.camera_to_world(stitched, R, t))
+    with host_compute():
+        sel_world = np.asarray(geometry.camera_to_world(selected, R, t))
+        gt_world = np.asarray(geometry.camera_to_world(gt_abs, R, t))
+        hyp_world = np.asarray(geometry.camera_to_world(stitched, R, t))
 
     # joint-position export (main_draw_h3wb.py:424-427)
     if args.viz.viz_export:

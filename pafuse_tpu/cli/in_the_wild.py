@@ -173,8 +173,10 @@ def main(argv=None):
         dump_frames(video_path, out_dir)
     else:
         w, h, fps = 1000, 1002, 25
-    keypoints = np.asarray(geometry.normalize_screen_coordinates(
-        keypoints[..., :2], w=w, h=h), dtype=np.float32)
+    from pafuse_tpu.utils.backend import host_compute
+    with host_compute():   # host-side prep off the (tunneled) accelerator
+        keypoints = np.asarray(geometry.normalize_screen_coordinates(
+            keypoints[..., :2], w=w, h=h), dtype=np.float32)
     print(f"-------------- load data spends {time.time() - t0:.2f} seconds")
 
     prediction = lift_video(args, keypoints, params, model)  # (S,H,T,J,3)
@@ -186,7 +188,8 @@ def main(argv=None):
     rot = np.array([0.14070565, -0.15007018, -0.7552408, 0.62232804],
                    dtype=np.float32)
     # np.array (copy): np.asarray of a jax array is a read-only view
-    world = np.array(geometry.camera_to_world(prediction, rot, 0.0))
+    with host_compute():
+        world = np.array(geometry.camera_to_world(prediction, rot, 0.0))
     world[..., 2] -= world[..., 2].min()
     np.save(os.path.join(out_dir,
                          f"test_3d_output_{video_name}_postprocess.npy"),
@@ -211,8 +214,9 @@ def main(argv=None):
             return None
 
         mean_pose = world[-1].mean(axis=0)  # final step, hypothesis mean
-        kp_px = np.asarray(geometry.image_coordinates(
-            keypoints.copy(), w=w, h=h))
+        with host_compute():
+            kp_px = np.asarray(geometry.image_coordinates(
+                keypoints.copy(), w=w, h=h))
         anim_out = os.path.join(out_dir, os.path.basename(args.viz.viz_output))
         written = viz.render_animation(
             {"reconstruction": mean_pose}, int(fps), anim_out,

@@ -205,11 +205,22 @@ def make_synthetic(subjects=("S1", "S5", "S6", "S7", "S8"),
                    frames_per_action: int = 120,
                    seed: int = 0) -> Human3WBDataset:
     """Fabricate an H3WB-shaped dataset with real camera geometry."""
+    from pafuse_tpu.utils.backend import host_compute
     rng = np.random.RandomState(seed)
     cameras = cam_tables.build_cameras(subjects)
     action_names = ["Walking", "Sitting", "Eating", "Posing", "Phoning",
                     "Greeting"]
     data: Dict[str, Dict[str, dict]] = {}
+    # host_compute: the per-action geometry below must not dispatch to a
+    # (possibly tunneled) accelerator backend -- see utils.backend
+    with host_compute():
+        _build_synthetic(data, subjects, cameras, rng, actions_per_subject,
+                         frames_per_action, action_names)
+    return Human3WBDataset(data, cameras)
+
+
+def _build_synthetic(data, subjects, cameras, rng, actions_per_subject,
+                     frames_per_action, action_names):
     for subject in subjects:
         data[subject] = {}
         cams = cameras[subject]
@@ -233,7 +244,6 @@ def make_synthetic(subjects=("S1", "S5", "S6", "S7", "S8"),
                 "positions_3d": positions_3d,
                 "pose_2d": pose_2d,
             }
-    return Human3WBDataset(data, cameras)
 
 
 # ---------------------------------------------------------------------------
@@ -245,22 +255,25 @@ def prepare_data(dataset: Human3WBDataset) -> Dict[str, Dict[str, List[np.ndarra
 
     Returns the normalized 2D keypoints dict {subject: {action: [per-cam]}}.
     """
+    from pafuse_tpu.utils.backend import host_compute
     keypoints: Dict[str, Dict[str, List[np.ndarray]]] = {}
-    for subject in dataset.subjects():
-        keypoints[subject] = {}
-        for action in dataset[subject].keys():
-            anim = dataset[subject][action]
-            anim["positions_3d"] = [
-                (p / 1000.0).astype(np.float32) for p in anim["positions_3d"]]
-            kps_list = []
-            for cam_idx, kps in enumerate(anim["pose_2d"]):
-                cam = dataset.cameras()[subject][cam_idx]
-                kps = kps.astype(np.float32)
-                kps[..., :2] = geometry.normalize_screen_coordinates(
-                    kps[..., :2], w=cam["res_w"], h=cam["res_h"])
-                kps_list.append(kps)
-            anim["pose_2d"] = kps_list
-            keypoints[subject][action] = kps_list
+    with host_compute():  # per-sequence jnp ops stay off the accelerator
+        for subject in dataset.subjects():
+            keypoints[subject] = {}
+            for action in dataset[subject].keys():
+                anim = dataset[subject][action]
+                anim["positions_3d"] = [
+                    (p / 1000.0).astype(np.float32)
+                    for p in anim["positions_3d"]]
+                kps_list = []
+                for cam_idx, kps in enumerate(anim["pose_2d"]):
+                    cam = dataset.cameras()[subject][cam_idx]
+                    kps = kps.astype(np.float32)
+                    kps[..., :2] = geometry.normalize_screen_coordinates(
+                        kps[..., :2], w=cam["res_w"], h=cam["res_h"])
+                    kps_list.append(kps)
+                anim["pose_2d"] = kps_list
+                keypoints[subject][action] = kps_list
     return keypoints
 
 

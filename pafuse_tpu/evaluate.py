@@ -238,6 +238,8 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
             all_preds.append(pred_wb[:cur])
         acc.add(metrics, weight)
 
+    from pafuse_tpu.utils.backend import host_compute
+
     for cam, seq_3d, seq_2d in sequences:
         x2d_flip_seq = geometry.flip_pose_np(
             np.asarray(seq_2d, np.float32), model.flip_permutation)
@@ -245,10 +247,11 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
         w2d_flip, _ = win.eval_data_prepare(receptive_field, x2d_flip_seq)
 
         traj = w3d[:, :, :1].copy()
-        if part_based:
-            gt_parts = np.asarray(geometry.center_pose_parts(w3d))
-        else:
-            gt_parts = np.asarray(geometry.center_pose_at_root(w3d))
+        with host_compute():  # per-sequence prep off the accelerator
+            if part_based:
+                gt_parts = np.asarray(geometry.center_pose_parts(w3d))
+            else:
+                gt_parts = np.asarray(geometry.center_pose_at_root(w3d))
 
         cam_vec = np.asarray(cam, np.float32).reshape(-1)
         n_windows = w2d.shape[0]

@@ -43,6 +43,26 @@ def ensure_backend():
         return jax.devices()
 
 
+def host_compute():
+    """Context manager routing jnp ops to the in-process CPU backend.
+
+    Host-side data preparation (dataset synthesis/normalization, per-sequence
+    centering and windowing in the eval loop) reuses the same pure-jnp
+    geometry kernels as the device path.  Under a tunneled TPU backend every
+    one of those small per-sequence calls would otherwise pay a remote
+    dispatch (and, for each new shape, a remote compile) of ~2-20 s — a
+    1000-frame synthetic dataset took >40 min to "load".  Wrap host-side
+    prep in this context so it runs on local CPU; device code is unaffected.
+    """
+    import contextlib
+    import jax
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:          # no separate CPU backend (already on CPU)
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def sync(x) -> float:
     """Force completion of the computation producing ``x`` and return a
     checksum scalar.
