@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""On-chip numerics check of the inference Pallas kernels vs the XLA path.
+
+Covers the fused whole-block kernel (group-packed + per-head batched
+attention policies, in-VMEM token padding) and the opt-in whole-layer
+kernel, at the four flagship tile shapes (body/face/hand spatial +
+temporal).  Run on the TPU (kernels decline on CPU):
+
+    python tools/check_infer_kernels.py
+
+Expected class in f32 mode: ~1.5e-3 max abs diff (TPU f32 matmuls
+decompose to bf16 passes at default precision on BOTH paths;
+``jax.config.update('jax_default_matmul_precision', 'highest')`` gives
+exact-f32 parity runs).
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pafuse_tpu.models import mixste
+from pafuse_tpu.ops.attention import pallas_block, pallas_layer
+
+
+def check_block(L, C, B=100, num_heads=8, seed=0):
+    cfg = mixste.MixSTEConfig(num_frames=27, num_joints=L, embed_dim=C,
+                              num_heads=num_heads)
+    p = mixste.init_mixste(jax.random.PRNGKey(seed), cfg)
+    bp, on = p["STEblocks"][0], p["Spatial_norm"]
+    x = jnp.asarray(np.random.RandomState(seed).randn(B, L, C), jnp.float32)
+    y = pallas_block(bp, on, x, num_heads, jnp.float32)
+    ref = mixste._layernorm(on, mixste._block(bp, x, num_heads, jnp.float32))
+    d = float(jnp.max(jnp.abs(y - np.asarray(ref))))
+    print(f"block  L={L:3d} C={C:3d}: max|diff| vs XLA = {d:.2e}", flush=True)
+    return d
+
+
+def check_layer(L, C, B=6, num_heads=8, seed=0):
+    cfg = mixste.MixSTEConfig(num_frames=27, num_joints=L, embed_dim=C,
+                              num_heads=num_heads, depth=1)
+    p = mixste.init_mixste(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.RandomState(seed)
+    x2d = jnp.asarray(rng.randn(B, 27, L, 2), jnp.float32)
+    x3d = jnp.asarray(rng.randn(B, 27, L, 3), jnp.float32)
+    t = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    fwd = lambda **kw: mixste.mixste_forward(p, cfg, x2d, x3d, t,
+                                             compute_dtype=jnp.float32, **kw)
+    d = float(jnp.max(jnp.abs(fwd(layer_fn=pallas_layer) - fwd())))
+    print(f"layer  L={L:3d} C={C:3d}: max|diff| vs XLA = {d:.2e}", flush=True)
+    return d
+
+
+def main():
+    if jax.default_backend() == "cpu":
+        print("CPU backend: kernels decline (fallback paths are exercised "
+              "by tests/test_mixste.py) — nothing to check here")
+        return 0
+    worst = 0.0
+    for (L, C) in [(24, 384), (68, 224), (21, 256), (27, 384)]:
+        worst = max(worst, check_block(L, C))
+    worst = max(worst, check_layer(24, 384))
+    ok = worst < 5e-3
+    print(f"worst {worst:.2e} -> {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
