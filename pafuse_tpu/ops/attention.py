@@ -433,13 +433,18 @@ def _layer_kernel(*refs, num_heads: int, n_joints: int, n_frames: int,
 
 def pallas_layer(ste_params, spatial_norm, tte_params, temporal_norm, x,
                  num_heads: int, compute_dtype, tpe=None,
-                 batch_tile: int = 4):
+                 batch_tile: int = 1):
     """One full MixSTE layer on ``x``: (B, F, N, C) -> (B, F, N, C).
 
     Equivalent to ``swapaxes(LN_t(block_t(swapaxes(LN_s(block_s(x)) [+tpe],
     1, 2))), 1, 2)`` on the eval path (no stochastic depth).  ``tpe`` is the
     (F, C) temporal position embedding, passed for layer 0 only.
     Returns None to decline (no pallas / CPU backend).
+
+    ``batch_tile`` defaults to 1: Mosaic's compile time for the two fused
+    block bodies grows superlinearly in the tile (TB=4 compiles for >10
+    minutes) — one reason this kernel is a documented negative result
+    (docs/ROADMAP.md) and opt-in only.
     """
     if not _HAS_PALLAS:
         return None
