@@ -79,6 +79,61 @@ def measure_ours() -> float:
     return frames / dt
 
 
+def measure_pipeline() -> float:
+    """CLI-equivalent evaluation pipeline throughput: host windowing ->
+    flip-TTA DDIM sampling -> ALL aggregation metrics (J_Best/P_Best/P_Agg/
+    J_Agg + part-based breakdowns) -> host accumulation, via
+    ``evaluate.evaluate_sequences`` — the number a user of the reference's
+    ``general.evaluate`` workload actually experiences (sans report I/O).
+
+    Timed warm (one full compile+run first); the timed call ends in the
+    accumulator's host readbacks, which are the honest sync."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pafuse_tpu.diffusion import D3DP, D3DPConfig
+    from pafuse_tpu import evaluate as ev
+    from pafuse_tpu.ops.attention import (select_attention_fn, select_block_fn,
+                                          select_layer_fn)
+    from pafuse_tpu.utils.backend import enable_compilation_cache
+    enable_compilation_cache()
+
+    cfg = D3DPConfig(num_proposals=NUM_PROPOSALS,
+                     sampling_timesteps=SAMPLING_TIMESTEPS)
+    dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    model = D3DP(cfg, compute_dtype=dtype,
+                 attention_fn=select_attention_fn("auto"),
+                 block_fn=select_block_fn("auto"),
+                 layer_fn=select_layer_fn("auto"))
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # synthetic S8-like workload: PIPE_SEQS sequences x PIPE_FRAMES frames
+    rng = np.random.RandomState(0)
+    n_seqs = int(os.environ.get("PAFUSE_BENCH_PIPE_SEQS", 8))
+    frames = int(os.environ.get("PAFUSE_BENCH_PIPE_FRAMES", 405))
+    cam = np.array([2.29, 2.29, 0.02, -0.01, -0.2, 0.24, -0.002, 0.001,
+                    -0.0005], np.float32)
+    seqs = [(cam,
+             (0.1 * rng.randn(frames, 134, 3) + [0, 0, 4]).astype(np.float32),
+             rng.randn(frames, 134, 2).astype(np.float32))
+            for _ in range(n_seqs)]
+    pin = ev.pinned_window_batch([s[2] for s in seqs], FRAMES, sub_batch=32)
+
+    def run(key):
+        acc, _ = ev.evaluate_sequences(
+            model, params, seqs, None, rng=key, receptive_field=FRAMES,
+            num_proposals=NUM_PROPOSALS,
+            sampling_timesteps=SAMPLING_TIMESTEPS, window_batch=pin)
+        assert acc.n > 0
+        return acc
+
+    run(jax.random.PRNGKey(1))  # compile + warm
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    return n_seqs * frames / dt
+
+
 def torch_baseline_fps() -> float:
     cache = os.path.join(REPO, "BASELINE_MEASURED.json")
     if os.path.exists(cache):
@@ -109,16 +164,36 @@ def torch_baseline_fps() -> float:
 
 def main():
     fps = measure_ours()
+    pipe_fps = None
+    if os.environ.get("PAFUSE_BENCH_PIPELINE", "1") != "0":
+        try:
+            pipe_fps = measure_pipeline()
+        except Exception as e:   # the headline metric must still print
+            print(f"pipeline bench failed ({e})", file=sys.stderr)
     base = torch_baseline_fps()
     vs = fps / base if base == base and base > 0 else None
-    print(json.dumps({
+    if pipe_fps is not None:
+        # secondary metric first; the driver parses the LAST line
+        print(json.dumps({
+            "metric": f"full evaluation pipeline (windowing + flip-TTA DDIM "
+                      f"+ all metrics) P={NUM_PROPOSALS} x "
+                      f"T={SAMPLING_TIMESTEPS}, warm",
+            "value": round(pipe_fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": (round(pipe_fps / base, 2)
+                            if base == base and base > 0 else None),
+        }))
+    out = {
         "metric": f"H3WB lifting throughput, P={NUM_PROPOSALS} proposals x "
                   f"T={SAMPLING_TIMESTEPS} DDIM steps, flip-TTA, part-based "
                   "MixSTE (134 joints)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    if pipe_fps is not None:
+        out["pipeline_fps"] = round(pipe_fps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -122,14 +122,15 @@ def main(argv=None):
 
     out_dir = os.path.join("plot", f"{subject}_{action}_{cam_idx}".replace(" ", "_"))
     skip = max(1, int(args.viz.viz_downsample))
+    show_gt = not bool(args.viz.viz_no_ground_truth)
     viz.draw_3d_image_select(hyp_world, sel_world, gt_world, out_dir,
                              azim=float(cam.get("azimuth", 70.0)),
-                             frame_skip=skip)
+                             frame_skip=skip, show_gt=show_gt)
     # GT vs each hypothesis, every 5th frame like the reference
     # (visualization.py:372-449)
     viz.draw_3d_image_hypotheses(hyp_world, gt_world, out_dir,
                                  azim=float(cam.get("azimuth", 70.0)),
-                                 frame_skip=5 * skip)
+                                 frame_skip=5 * skip, show_gt=show_gt)
     print(f"Wrote renders to {out_dir}")
 
 

@@ -112,8 +112,8 @@ def lift_video(args, keypoints_norm: np.ndarray, params, model,
         rng, sub = jax.random.split(rng)
         # one-deep pipeline (as in evaluate.evaluate_sequences): read back
         # the previous batch while the device runs this one, so host
-        # padding/transfers overlap device compute without holding more
-        # than one device buffer alive
+        # padding/transfers overlap device compute (keeps one extra batch's
+        # output alive while the next runs)
         out = sample(params, sub, jnp.asarray(padded(w2d)),
                      jnp.asarray(padded(w2d_flip)))
         if pending is not None:

@@ -40,6 +40,7 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
         part_based=False,
         mm_scale=True,
         drop_path_rate=0.1 if is_train else 0.0,
+        dropout=float(args.model.dropout) if is_train else 0.0,
         test_time_augmentation=args.model.test_time_augmentation,
     )
     compute_dtype = (jnp.bfloat16 if args.tpu.compute_dtype == "bfloat16"
@@ -213,10 +214,21 @@ def main(argv=None):
         model_eval, state.params, test_data, args,
         num_proposals=args.ft2d.num_proposals,
         sampling_timesteps=args.ft2d.sampling_timesteps)
+    # txt regression record mirroring the H3WB path's
+    # h36m_test_log_H{P}_K{T}.txt (evaluate.write_report)
+    lines = []
     for ii, (e, ea) in enumerate(zip(np.atleast_1d(err),
                                      np.atleast_1d(err_agg))):
-        print(f"step {ii} : 3DHP MPJPE P_Best: {float(e):f} mm")
-        print(f"step {ii} : 3DHP MPJPE P_Agg: {float(ea):f} mm")
+        lines.append(f"step {ii} : 3DHP MPJPE P_Best: {float(e):f} mm")
+        lines.append(f"step {ii} : 3DHP MPJPE P_Agg: {float(ea):f} mm")
+    report = "\n".join(lines) + "\n"
+    print(report, end="")
+    log_path = os.path.join(
+        args.general.checkpoint,
+        f"3dhp_test_log_H{args.ft2d.num_proposals}"
+        f"_K{args.ft2d.sampling_timesteps}.txt")
+    with open(log_path, "a") as f:
+        f.write(report)
 
 
 if __name__ == "__main__":

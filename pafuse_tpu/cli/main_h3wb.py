@@ -45,6 +45,7 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
         part_based=args.general.part_based_model,
         merge_hands=args.data.merge_hands,
         drop_path_rate=0.1 if is_train else 0.0,
+        dropout=float(args.model.dropout) if is_train else 0.0,
         test_time_augmentation=args.model.test_time_augmentation,
     )
     from pafuse_tpu.ops.block_grad import select_train_block_fn
@@ -86,6 +87,14 @@ def main(argv=None):
 
 def _run(args, mlflow_on: bool = False):
     from pafuse_tpu.utils import observability as obs
+
+    if int(args.experiment.warmup) != 1:
+        # semi-supervision warm-up exists only in the reference's legacy
+        # argparse scripts (common/arguments.py:63); the hydra path reads it
+        # nowhere, so a non-default value would silently do nothing
+        raise ValueError("experiment.warmup is not implemented (the "
+                         "reference's hydra driver ignores it); remove the "
+                         "override")
 
     timestamp = datetime.now().strftime("%Y%m%dT%H-%M-%S")
     description = "Evaluate!" if args.general.evaluate else "Train!"
@@ -354,8 +363,8 @@ def _run(args, mlflow_on: bool = False):
     all_actions, by_subject = collect_actions(dataset, subjects_test)
 
     def run_evaluation(actions, tag=None):
-        import jax
         per_action = {}
+        per_action_p2 = {}
         for action_key in sorted(actions.keys()):
             if action_filter is not None and not any(
                     action_key.startswith(a) for a in action_filter):
@@ -378,19 +387,19 @@ def _run(args, mlflow_on: bool = False):
             ev.write_report(args.general.checkpoint, args.ft2d.num_proposals,
                             args.ft2d.sampling_timesteps, report)
             per_action[action_key] = means
+            if p2m is not None:
+                per_action_p2[action_key] = p2m
 
         if per_action:
-            keys = next(iter(per_action.values())).keys()
-            avg = {k: np.mean([m[k] for m in per_action.values()], axis=0)
-                   for k in keys}
-            lines = []
-            steps = len(np.atleast_1d(avg["J_Best"]))
-            for ii in range(steps):
-                for k in ("J_Best", "P_Best", "P_Agg", "J_Agg"):
-                    lines.append(
-                        f"step {ii} Protocol #1   (MPJPE) action-wise average "
-                        f"{k}: {float(np.atleast_1d(avg[k])[ii]):f} mm")
-            text = "\n".join(lines) + "\n"
+            def avg_of(dicts):
+                keys = next(iter(dicts.values())).keys()
+                return {k: np.mean([m[k] for m in dicts.values()], axis=0)
+                        for k in keys}
+            avg = avg_of(per_action)
+            p2_avg = avg_of(per_action_p2) if per_action_p2 else None
+            # reference-format averaged block incl. part-based breakdowns
+            # and P2 averages (main_h3wb.py:1253-1358)
+            text = ev.format_actionwise_average(avg, p2_avg)
             print(text)
             ev.write_report(args.general.checkpoint, args.ft2d.num_proposals,
                             args.ft2d.sampling_timesteps, text)

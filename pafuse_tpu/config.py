@@ -101,7 +101,14 @@ def apply_overrides(cfg: ConfigNode, overrides: Iterable[str]) -> ConfigNode:
         keys = path.split(".")
         node = cfg
         for i, k in enumerate(keys[:-1]):
-            if k not in node or not isinstance(node[k], ConfigNode):
+            if k in node and not isinstance(node[k], ConfigNode):
+                # an existing scalar leaf must never be silently replaced by
+                # a new group ('+a.b=v' where 'a' is a value) — that destroys
+                # its value and masks exactly the typos strict mode catches
+                raise KeyError(
+                    f"Config path component {'.'.join(keys[:i + 1])!r} in "
+                    f"override {ov!r} is a value, not a group")
+            if k not in node:
                 if not allow_new:
                     raise KeyError(
                         f"Unknown config group {'.'.join(keys[:i + 1])!r} "
@@ -113,6 +120,12 @@ def apply_overrides(cfg: ConfigNode, overrides: Iterable[str]) -> ConfigNode:
             raise KeyError(
                 f"Unknown config key {path!r} in override {ov!r} "
                 f"(use +{path}=... to add new keys)")
+        if keys[-1] in node and allow_new:
+            # hydra errors when '+' appends a key that already exists; the
+            # silent-overwrite alternative can mask a typo'd '+' prefix
+            raise KeyError(
+                f"Config key {path!r} already exists; drop the '+' in "
+                f"override {ov!r}")
         node[keys[-1]] = _parse_value(raw)
     return cfg
 

@@ -168,49 +168,7 @@ class ChunkedSampler:
                 enabled = False
 
 
-class UnchunkedSampler:
-    """Whole-sequence eval batches, optional flipped twin appended on the
-    batch axis (generators.py:174-249)."""
-
-    def __init__(self, cameras, poses_3d, poses_2d, augment: bool = False,
-                 flip_permutation: Optional[np.ndarray] = None):
-        assert poses_3d is None or len(poses_3d) == len(poses_2d)
-        assert cameras is None or len(cameras) == len(poses_2d)
-        self.augment = augment
-        self.cameras = [] if cameras is None else cameras
-        self.poses_3d = [] if poses_3d is None else poses_3d
-        self.poses_2d = poses_2d
-        self.flip_perm = (flip_permutation if flip_permutation is not None
-                          else sk.FLIP_PERMUTATION)
-
-    def num_frames(self) -> int:
-        return sum(p.shape[0] for p in self.poses_2d)
-
-    def augment_enabled(self) -> bool:
-        return self.augment
-
-    def set_augment(self, augment: bool):
-        self.augment = augment
-
-    def next_epoch(self):
-        from itertools import zip_longest
-        for seq_cam, seq_3d, seq_2d in zip_longest(
-                self.cameras, self.poses_3d, self.poses_2d):
-            batch_cam = None if seq_cam is None else seq_cam[None].copy()
-            batch_3d = None if seq_3d is None else seq_3d[None].astype(np.float32)
-            batch_2d = None if seq_2d is None else seq_2d[None].astype(np.float32)
-            if self.augment:
-                if batch_cam is not None:
-                    batch_cam = np.concatenate([batch_cam, batch_cam], axis=0)
-                    batch_cam[1, 2] *= -1
-                    batch_cam[1, 7] *= -1
-                if batch_3d is not None:
-                    flipped = batch_3d.copy()
-                    flipped[..., 0] *= -1
-                    flipped = flipped[:, :, self.flip_perm]
-                    batch_3d = np.concatenate([batch_3d, flipped], axis=0)
-                flipped = batch_2d.copy()
-                flipped[..., 0] *= -1
-                flipped = flipped[:, :, self.flip_perm]
-                batch_2d = np.concatenate([batch_2d, flipped], axis=0)
-            yield batch_cam, batch_3d, batch_2d
+# NOTE: the reference's UnchunkedGenerator_Seq (generators.py:174-249) has no
+# separate class here: evaluation builds the flipped twin inline per sequence
+# (evaluate.evaluate_sequences, cli/in_the_wild.py) — the one-sequence-at-a-
+# time generator shim added nothing on top of that.

@@ -116,6 +116,8 @@ class D3DPConfig:
     part_based: bool = True
     merge_hands: bool = True
     drop_path_rate: float = 0.0     # 0.1 for training (diffusionpose.py:136-138)
+    dropout: float = 0.0            # model.dropout -> MLP/proj/pos drop (mixste.py:35)
+    attn_dropout: float = 0.0       # attn_drop on softmax weights (mixste.py:73)
     test_time_augmentation: bool = True
     mm_scale: bool = False          # 3DHP variant: model operates in mm/1000
 
@@ -140,10 +142,14 @@ class D3DP:
         if cfg.part_based:
             tables = parts_joint_indices or sk.parts_table(cfg.merge_hands)
             specs = build_part_specs(tables, cfg.frames, cfg.input_size,
-                                     cfg.depth, cfg.drop_path_rate)
+                                     cfg.depth, cfg.drop_path_rate,
+                                     drop_rate=cfg.dropout,
+                                     attn_drop_rate=cfg.attn_dropout)
         else:
             specs = monolithic_spec(cfg.num_kps, cfg.frames, cfg.input_size,
-                                    cfg.cs, cfg.depth, cfg.drop_path_rate)
+                                    cfg.cs, cfg.depth, cfg.drop_path_rate,
+                                    drop_rate=cfg.dropout,
+                                    attn_drop_rate=cfg.attn_dropout)
         self.model = PartModel(specs, packed=packed_parts and cfg.part_based)
         if flip_permutation is not None:
             self.flip_permutation = np.asarray(flip_permutation, np.int32)
@@ -197,17 +203,23 @@ class D3DP:
         b = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)[t].reshape(shape)
         return a * x_start + b * noise
 
-    def prepare_targets(self, rng, x3d_gt):
-        """Batch-vectorized prepare_diffusion_concat (diffusionpose.py:358-388)."""
+    def prepare_targets(self, rng, x3d_gt, *, t=None, noise=None):
+        """Batch-vectorized prepare_diffusion_concat (diffusionpose.py:358-388).
+
+        ``t``/``noise`` may be injected (golden parity tests vs the torch
+        reference, which draws them per sample on the host).
+        """
         B = x3d_gt.shape[0]
         rt, rn = jax.random.split(rng)
-        t = jax.random.randint(rt, (B,), 0, self.cfg.timesteps)
-        noise = jax.random.normal(rn, x3d_gt.shape, jnp.float32)
+        if t is None:
+            t = jax.random.randint(rt, (B,), 0, self.cfg.timesteps)
+        if noise is None:
+            noise = jax.random.normal(rn, x3d_gt.shape, jnp.float32)
         x = self.q_sample(x3d_gt * self.cfg.scale, t, noise)
         x = self._clamp_scaled(x) / self.cfg.scale
         return x, noise, t
 
-    def train_forward(self, params, rng, x2d, x3d_gt):
+    def train_forward(self, params, rng, x2d, x3d_gt, *, t=None, noise=None):
         """Training pass: noise GT, denoise, return x0 prediction (B,F,N,3).
 
         With ``mm_scale`` (the 3DHP variant, diffusionpose_3dhp.py:281-287)
@@ -217,7 +229,7 @@ class D3DP:
         if self.cfg.mm_scale:
             x3d_gt = x3d_gt / 1000.0
         r_targets, r_drop = jax.random.split(rng)
-        x_t, _, t = self.prepare_targets(r_targets, x3d_gt)
+        x_t, _, t = self.prepare_targets(r_targets, x3d_gt, t=t, noise=noise)
         pred = self._denoise(params, x2d, x_t, t, train=True, rng=r_drop)
         return pred * 1000.0 if self.cfg.mm_scale else pred
 

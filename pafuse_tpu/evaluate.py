@@ -149,14 +149,15 @@ def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
 
 def pinned_window_batch(seqs_2d, receptive_field: int,
                         sub_batch: int = 64) -> int:
-    """One padded window-batch size covering every sequence in ``seqs_2d``
+    """One padded window-batch size for the whole workload in ``seqs_2d``
     (list of (F, J, 2) arrays) — pass to ``evaluate_sequences`` so a whole
-    multi-action evaluation shares a single jit specialization."""
-    max_windows = 1
+    multi-action evaluation shares a single jit specialization.  Windows are
+    pooled across sequences, so the bound is the TOTAL window count."""
+    total = 0
     for s in seqs_2d:
         frames = np.squeeze(np.asarray(s)).shape[0]
-        max_windows = max(max_windows, -(-frames // receptive_field))
-    return min(sub_batch, 1 << (max_windows - 1).bit_length())
+        total += max(1, -(-frames // receptive_field))
+    return min(sub_batch, 1 << (max(1, total) - 1).bit_length())
 
 
 def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
@@ -172,10 +173,22 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                        ) -> Tuple[EvalAccumulator, Optional[np.ndarray]]:
     """Evaluate a list of (cam, pose_3d, pose_2d) sequences.
 
-    Mirrors main_h3wb.py:261-404: per sequence, build the flipped 2D copy,
-    window via eval_data_prepare, center the GT per part, sub-batch the
-    windows, run flip-TTA DDIM and accumulate all metrics (weighted by
-    B*F as the reference does via ``batch_multiplier``).
+    Mirrors main_h3wb.py:261-404 semantics: per sequence, build the flipped
+    2D copy, window via eval_data_prepare, center the GT per part; then run
+    flip-TTA DDIM over window batches and accumulate all metrics (weighted
+    by B*F as the reference does via ``batch_multiplier``).
+
+    TPU pipeline redesign (round 3): windows are POOLED across sequences —
+    every per-window input (cam vector, trajectory, GT) is per-row, so
+    batches may freely mix sequences.  This (a) removes the per-sequence
+    padding waste (a 18-window sequence used to pad to the 32-row jit shape
+    and burn 44% of its DDIM compute on replicated rows; now only the final
+    batch of the whole call is partial) and (b) cuts host->device transfers
+    from 6 per sub-batch to 6 per call — each modality ships once as a
+    (n_batches, bs, ...) stack and batches are sliced on device, which
+    matters through a tunneled PJRT backend with ~10s-of-ms dispatch
+    latency.  Metrics are unchanged: masked rows never contribute, and the
+    accumulation weight is the batch's real-window count.
     """
     part_based = model.cfg.part_based
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -189,20 +202,19 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
 
     # Pin ONE padded sub-batch size for the whole call (callers spanning
     # several calls — e.g. per-action evaluation — pass ``window_batch`` to
-    # pin it run-wide): bucket the largest sequence's window count to a power
-    # of two.  Short sequences pad up to it (masked), so the jitted step
-    # compiles for a single shape instead of one specialization per distinct
-    # sequence length.
+    # pin it run-wide): bucket the POOLED window count to a power of two.
+    # Since windows from all sequences share batches, only the final batch
+    # of the call is partial, and the jitted step compiles for a single
+    # shape.
     sequences = list(sequences)
     if window_batch is not None:
         bs = window_batch
     else:
-        max_windows = 1
+        total_windows = 0
         for _, _, seq_2d in sequences:
             frames = np.squeeze(np.asarray(seq_2d)).shape[0]
-            n = max(1, -(-frames // receptive_field))  # window_indices count
-            max_windows = max(max_windows, n)
-        bs = min(sub_batch, 1 << (max_windows - 1).bit_length())
+            total_windows += max(1, -(-frames // receptive_field))
+        bs = min(sub_batch, 1 << (max(1, total_windows) - 1).bit_length())
     if mesh is not None:
         n_dev = int(np.prod(mesh.devices.shape))
         bs = -(-max(bs, n_dev) // n_dev) * n_dev  # even shards per device
@@ -240,6 +252,8 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
 
     from pafuse_tpu.utils.backend import host_compute
 
+    # ---- host pass: window every sequence, pool the windows ---------------
+    parts_2d, parts_2d_flip, parts_gt, parts_traj, parts_cam = [], [], [], [], []
     for cam, seq_3d, seq_2d in sequences:
         x2d_flip_seq = geometry.flip_pose_np(
             np.asarray(seq_2d, np.float32), model.flip_permutation)
@@ -254,33 +268,47 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                 gt_parts = np.asarray(geometry.center_pose_at_root(w3d))
 
         cam_vec = np.asarray(cam, np.float32).reshape(-1)
-        n_windows = w2d.shape[0]
-        for start in range(0, n_windows, bs):
-            sl = slice(start, min(start + bs, n_windows))
-            cur = sl.stop - sl.start
+        parts_2d.append(w2d)
+        parts_2d_flip.append(w2d_flip)
+        parts_gt.append(gt_parts)
+        parts_traj.append(traj)
+        parts_cam.append(np.tile(cam_vec, (w2d.shape[0], 1)))
+    if not parts_2d:
+        return (acc, p2_acc) if collect_p2 else (acc, None)
 
-            def pad(a):
-                if cur == bs:
-                    return a[sl]
-                reps = np.repeat(a[sl.stop - 1:sl.stop], bs - cur, axis=0)
-                return np.concatenate([a[sl], reps], axis=0)
+    def pooled(chunks):
+        a = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        total = a.shape[0]
+        nb = -(-total // bs)
+        if nb * bs != total:  # edge-replicate the tail (rows masked out)
+            reps = np.repeat(a[-1:], nb * bs - total, axis=0)
+            a = np.concatenate([a, reps], axis=0)
+        return np.ascontiguousarray(
+            a.reshape((nb, bs) + a.shape[1:]), dtype=np.float32)
 
-            mask = np.zeros(bs, np.float32)
-            mask[:cur] = 1.0
-            rng, sub = jax.random.split(rng)
-            metrics_dev = step(params, sub,
-                               jnp.asarray(pad(w2d)),
-                               jnp.asarray(pad(w2d_flip)),
-                               jnp.asarray(pad(gt_parts)),
-                               jnp.asarray(pad(traj)),
-                               jnp.asarray(np.tile(cam_vec, (bs, 1))),
-                               jnp.asarray(mask))
-            if pending is not None:
-                _drain(pending)
-            # batch_multiplier weight = B*F (main_h3wb.py:949-954)
-            pending = (metrics_dev, cur * receptive_field, cur)
-            if quickdebug:
-                break
+    n_windows = sum(p.shape[0] for p in parts_2d)
+    n_batches = -(-n_windows // bs)
+    # one transfer per modality for the whole call; per-batch slices below
+    # are device-side indexing, not transfers
+    d2d = jnp.asarray(pooled(parts_2d))
+    d2d_flip = jnp.asarray(pooled(parts_2d_flip))
+    dgt = jnp.asarray(pooled(parts_gt))
+    dtraj = jnp.asarray(pooled(parts_traj))
+    dcam = jnp.asarray(pooled(parts_cam))
+    del parts_2d, parts_2d_flip, parts_gt, parts_traj, parts_cam
+    masks = np.ones((n_batches, bs), np.float32)
+    masks[-1, n_windows - (n_batches - 1) * bs:] = 0.0
+    dmask = jnp.asarray(masks)
+    subs = jax.random.split(rng, n_batches)
+
+    for b_i in range(n_batches):
+        cur = min(bs, n_windows - b_i * bs)
+        metrics_dev = step(params, subs[b_i], d2d[b_i], d2d_flip[b_i],
+                           dgt[b_i], dtraj[b_i], dcam[b_i], dmask[b_i])
+        if pending is not None:
+            _drain(pending)
+        # batch_multiplier weight = B*F (main_h3wb.py:949-954)
+        pending = (metrics_dev, cur * receptive_field, cur)
         if quickdebug:
             break
     if pending is not None:
@@ -350,6 +378,76 @@ def format_report(means_mm: Dict[str, np.ndarray], action: Optional[str],
                 lines.append(f"step {ii} : Protocol #2 Error (MPJPE) {label}: "
                              f"{v:f} mm")
     lines.append("----------")
+    return "\n".join(lines) + "\n"
+
+
+def format_actionwise_average(
+        avg: Dict[str, np.ndarray],
+        p2_avg: Optional[Dict[str, np.ndarray]] = None) -> str:
+    """The final averaged block, line-for-line with the reference
+    (/root/reference/main_h3wb.py:1253-1358): the four aggregation metrics,
+    the part-based P_Best/P_Agg breakdowns (BODY/FACE/HANDS/LEFT HAND/RIGHT
+    HAND), and — when P2 means are supplied — the Protocol #2 averages.
+
+    (The reference's own ``ft2d.p2`` branch cannot actually reach its
+    part-based lines — with p2 on, ``evaluate`` returns 9 values and
+    ``e1_h_pb_body`` is never assigned, so run_evaluation raises NameError
+    at main_h3wb.py:1191.  We emit the full union instead.)
+    """
+    g = lambda d, k, i: float(np.atleast_1d(d[k])[i])  # noqa: E731
+    P1 = "Protocol #1   (MPJPE) action-wise average"
+    lines: List[str] = []
+    steps = len(np.atleast_1d(avg["J_Best"]))
+    for ii in range(steps):
+        lines.append(f"step {ii} {P1} J_Best: {g(avg, 'J_Best', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Best: {g(avg, 'P_Best', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Agg: {g(avg, 'P_Agg', ii):f} mm")
+        lines.append(f"step {ii} {P1} J_Agg: {g(avg, 'J_Agg', ii):f} mm")
+        lines.append("-----------------> Part-Based Evaluation "
+                     "<-----------------")
+        lines.append(f"step {ii} {P1} P_Best (Part-Based): "
+                     f"{g(avg, 'P_Best_PB', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Best (Part-Based) BODY: "
+                     f"{g(avg, 'P_Best_PB_body', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Best (Part-Based) FACE: "
+                     f"{g(avg, 'P_Best_PB_face', ii):f} mm")
+        hands = 0.5 * (g(avg, "P_Best_PB_left_hand", ii)
+                       + g(avg, "P_Best_PB_right_hand", ii))
+        lines.append(f"step {ii} {P1} P_Best (Part-Based) HANDS: "
+                     f"{hands:f} mm")
+        lines.append(f"step {ii} {P1} P_Best (Part-Based) LEFT HAND: "
+                     f"{g(avg, 'P_Best_PB_left_hand', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Best (Part-Based) RIGHT HAND: "
+                     f"{g(avg, 'P_Best_PB_right_hand', ii):f} mm")
+        lines.append("-----------------> Part-Based Agg Evaluation "
+                     "<-----------------")
+        lines.append(f"step {ii} {P1} P_Agg (Part-Based): "
+                     f"{g(avg, 'P_Agg_PB', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Agg (Part-Based) BODY: "
+                     f"{g(avg, 'P_Agg_PB_body', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Agg (Part-Based) FACE: "
+                     f"{g(avg, 'P_Agg_PB_face', ii):f} mm")
+        hands = 0.5 * (g(avg, "P_Agg_PB_left_hand", ii)
+                       + g(avg, "P_Agg_PB_right_hand", ii))
+        lines.append(f"step {ii} {P1} P_Agg (Part-Based) HANDS: "
+                     f"{hands:f} mm")
+        lines.append(f"step {ii} {P1} P_Agg (Part-Based) LEFT HAND: "
+                     f"{g(avg, 'P_Agg_PB_left_hand', ii):f} mm")
+        lines.append(f"step {ii} {P1} P_Agg (Part-Based) RIGHT HAND: "
+                     f"{g(avg, 'P_Agg_PB_right_hand', ii):f} mm")
+        # reference writes ' \n \n' after the last P1 line (main_h3wb.py:1340)
+        lines.append(" ")
+        lines.append(" ")
+        if p2_avg:
+            P2 = "Protocol #2   (MPJPE) action-wise average"
+            lines.append(f"step {ii} {P2} J_Best: "
+                         f"{g(p2_avg, 'P2_J_Best', ii):f} mm")
+            lines.append(f"step {ii} {P2} P_Best: "
+                         f"{g(p2_avg, 'P2_P_Best', ii):f} mm")
+            lines.append(f"step {ii} {P2} P_Agg: "
+                         f"{g(p2_avg, 'P2_P_Agg', ii):f} mm")
+            lines.append(f"step {ii} {P2} J_Agg: "
+                         f"{g(p2_avg, 'P2_J_Agg', ii):f} mm")
     return "\n".join(lines) + "\n"
 
 

@@ -140,10 +140,6 @@ def mpjpe_diffusion_3dhp(predicted, target, valid_frame, mean_pos: bool = False)
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     if not mean_pos:
         errors = jnp.linalg.norm(predicted - target[:, None, None], axis=-1)
-        min_err = jnp.min(jnp.mean(
-            errors * mask[:, None, None, :, None], axis=(0, 3, 4))
-            * (errors.shape[0] * errors.shape[3] * errors.shape[4])
-            / (denom * errors.shape[4]), axis=-1)
         # Reference masks frames *before* averaging; replicate exactly:
         w = mask[:, None, None, :, None]
         per_h = jnp.sum(errors * w, axis=(0, 3, 4)) / (denom * errors.shape[4])

@@ -57,8 +57,13 @@ class MixSTEConfig:
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     out_dim: int = 3
+
+    @property
+    def has_dropout(self) -> bool:
+        return self.drop_rate > 0.0 or self.attn_drop_rate > 0.0
 
     @property
     def drop_path_rates(self) -> np.ndarray:
@@ -155,7 +160,18 @@ def _layernorm(p: Params, x, eps: float = 1e-6):
     return y.astype(x.dtype)
 
 
-def _attention(p: Params, x, num_heads: int, compute_dtype):
+def _dropout(x, rate: float, rng):
+    """Inverted dropout (train-mode only; matches torch nn.Dropout)."""
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                     jnp.zeros((), x.dtype))
+
+
+def _attention(p: Params, x, num_heads: int, compute_dtype, *,
+               attn_drop: float = 0.0, proj_drop: float = 0.0, rng=None):
     """Multi-head self-attention over the -2 axis of ``(..., L, C)``."""
     *lead, L, C = x.shape
     head_dim = C // num_heads
@@ -176,16 +192,26 @@ def _attention(p: Params, x, num_heads: int, compute_dtype):
     # these casts are no-ops so strict-parity numerics are unchanged.
     attn = attn.astype(compute_dtype)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(compute_dtype)
+    if rng is not None and (attn_drop > 0.0 or proj_drop > 0.0):
+        r_attn, r_proj = jax.random.split(rng)
+    else:
+        r_attn = r_proj = None
+    attn = _dropout(attn, attn_drop, r_attn)   # mixste.py:73 attn_drop
     out = jnp.einsum("...lm,...md->...ld", attn, v,
                      preferred_element_type=jnp.float32).astype(compute_dtype)
     out = jnp.moveaxis(out, -3, -2).reshape(*lead, L, C)
-    return _linear(p["proj"], out, compute_dtype)
+    out = _linear(p["proj"], out, compute_dtype)
+    return _dropout(out, proj_drop, r_proj)    # mixste.py:59 proj_drop
 
 
-def _mlp(p: Params, x, compute_dtype):
+def _mlp(p: Params, x, compute_dtype, *, drop: float = 0.0, rng=None):
+    r1, r2 = (jax.random.split(rng)
+              if (rng is not None and drop > 0.0) else (None, None))
     h = _linear(p["fc1"], x, compute_dtype)
     h = jax.nn.gelu(h, approximate=False)
-    return _linear(p["fc2"], h, compute_dtype)
+    h = _dropout(h, drop, r1)                  # mixste.py:39-43 Mlp.drop x2
+    h = _linear(p["fc2"], h, compute_dtype)
+    return _dropout(h, drop, r2)
 
 
 def _drop_path(x, rate: float, rng, batch_ndim: int):
@@ -200,12 +226,24 @@ def _drop_path(x, rate: float, rng, batch_ndim: int):
 
 def _block(p: Params, x, num_heads: int, compute_dtype,
            drop_path_rate: float = 0.0, rng=None, batch_ndim: int = 1,
-           attention_fn=None):
+           attention_fn=None, drop_rate: float = 0.0,
+           attn_drop_rate: float = 0.0, drop_rng=None):
     attn_fn = attention_fn or _attention
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
-    h = attn_fn(p["attn"], _layernorm(p["norm1"], x), num_heads, compute_dtype)
+    d1, d2 = (jax.random.split(drop_rng)
+              if drop_rng is not None else (None, None))
+    xn = _layernorm(p["norm1"], x)
+    if drop_rng is not None and (drop_rate > 0.0 or attn_drop_rate > 0.0):
+        # dropout lives only in the reference _attention/_mlp bodies; a
+        # custom attention_fn (fused kernel) has no dropout hook, so the
+        # caller disables kernels whenever dropout is active
+        h = _attention(p["attn"], xn, num_heads, compute_dtype,
+                       attn_drop=attn_drop_rate, proj_drop=drop_rate, rng=d1)
+    else:
+        h = attn_fn(p["attn"], xn, num_heads, compute_dtype)
     x = x + _drop_path(h, drop_path_rate, r1, batch_ndim)
-    h = _mlp(p["mlp"], _layernorm(p["norm2"], x), compute_dtype)
+    h = _mlp(p["mlp"], _layernorm(p["norm2"], x), compute_dtype,
+             drop=drop_rate, rng=d2)
     x = x + _drop_path(h, drop_path_rate, r2, batch_ndim)
     return x
 
@@ -269,6 +307,18 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
     dprs = cfg.drop_path_rates if train else np.zeros(cfg.depth)
     rngs = (list(jax.random.split(rng, 2 * cfg.depth))
             if (train and rng is not None) else [None] * (2 * cfg.depth))
+    # Dropout (model.dropout / attn_drop, reference mixste.py:35,56-59,73):
+    # a SEPARATE key stream (fold_in) so the stochastic-depth draws above are
+    # bit-identical to the dropout-free path when rates are zero.
+    use_dropout = train and rng is not None and cfg.has_dropout
+    if use_dropout:
+        dkeys = list(jax.random.split(jax.random.fold_in(rng, 0x0d0d),
+                                      2 * cfg.depth + 2))
+        drop_rngs, pos_keys = dkeys[:2 * cfg.depth], dkeys[2 * cfg.depth:]
+        # pos_drop after the spatial/time embeddings (mixste.py:237)
+        x = _dropout(x, cfg.drop_rate, pos_keys[0])
+    else:
+        drop_rngs, pos_keys = [None] * (2 * cfg.depth), [None, None]
 
     # block_fn: optional fused whole-block kernel (LN1+attn+LN2+MLP+outer
     # LN in one pass, ops/attention.pallas_block); eval-only (no stochastic
@@ -276,7 +326,10 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
     # train_block_fn: the trainable variant (custom Pallas VJP,
     # ops/block_grad) with stochastic depth via per-sample branch masks.
     use_block = block_fn is not None and not train
-    use_train_block = train_block_fn is not None and train
+    # the fused train kernel has no dropout hook — fall back to XLA when
+    # dropout is active (stochastic depth IS supported via branch masks)
+    use_train_block = (train_block_fn is not None and train
+                       and not use_dropout)
     # layer_fn: optional fused whole-layer kernel (spatial block -> temporal
     # pos embed -> temporal block in one VMEM pass, ops/attention.pallas_layer);
     # eval-only, may return None to decline (e.g. CPU backend).
@@ -302,7 +355,9 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
             params["Spatial_norm"],
             _block(params["STEblocks"][i], x_bfnc, cfg.num_heads, compute_dtype,
                    float(dprs[i]), rngs[2 * i], batch_ndim=1,
-                   attention_fn=attention_fn))
+                   attention_fn=attention_fn, drop_rate=cfg.drop_rate,
+                   attn_drop_rate=cfg.attn_drop_rate,
+                   drop_rng=drop_rngs[2 * i]))
 
     def tte(i, x_bfnc):
         # temporal attention: tokens = frames; transpose instead of reshape.
@@ -323,7 +378,9 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
                 return jnp.swapaxes(y, 1, 2)
         y = _block(params["TTEblocks"][i], x_bnfc, cfg.num_heads, compute_dtype,
                    float(dprs[i]), rngs[2 * i + 1], batch_ndim=1,
-                   attention_fn=attention_fn)
+                   attention_fn=attention_fn, drop_rate=cfg.drop_rate,
+                   attn_drop_rate=cfg.attn_drop_rate,
+                   drop_rng=drop_rngs[2 * i + 1])
         y = _layernorm(params["Temporal_norm"], y)
         return jnp.swapaxes(y, 1, 2)
 
@@ -342,7 +399,8 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
             # (1, F, C) -> broadcast over batch and joints in (B, F, N, C)
             x = x + params["Temporal_pos_embed"][:, :, None, :].astype(compute_dtype)
             # (reference adds the temporal pos embed inside TTE_foward before
-            #  the first temporal block only, mixste.py:247-251)
+            #  the first temporal block only, then pos_drop, mixste.py:247-251)
+            x = _dropout(x, cfg.drop_rate, pos_keys[1])
         return tte(i, x)
 
     # the trainable kernel's backward already recomputes in VMEM, so remat

@@ -39,7 +39,8 @@ class PartSpec:
 
 def build_part_specs(parts_joint_indices: Dict[str, List[int]],
                      num_frames: int, in_chans: int, depth: int,
-                     drop_path_rate: float = 0.0) -> List[PartSpec]:
+                     drop_path_rate: float = 0.0, drop_rate: float = 0.0,
+                     attn_drop_rate: float = 0.0) -> List[PartSpec]:
     specs = []
     for name, idx in parts_joint_indices.items():
         specs.append(PartSpec(
@@ -48,14 +49,16 @@ def build_part_specs(parts_joint_indices: Dict[str, List[int]],
             config=MixSTEConfig(
                 num_frames=num_frames, num_joints=len(idx), in_chans=in_chans,
                 embed_dim=PART_CHANNELS[name], depth=depth,
-                drop_path_rate=drop_path_rate),
+                drop_path_rate=drop_path_rate, drop_rate=drop_rate,
+                attn_drop_rate=attn_drop_rate),
         ))
     return specs
 
 
 def monolithic_spec(num_joints: int, num_frames: int, in_chans: int,
                     embed_dim: int, depth: int,
-                    drop_path_rate: float = 0.0) -> List[PartSpec]:
+                    drop_path_rate: float = 0.0, drop_rate: float = 0.0,
+                    attn_drop_rate: float = 0.0) -> List[PartSpec]:
     """Single whole-body network (general.part_based_model=False path,
     diffusionpose.py:150-153)."""
     return [PartSpec(
@@ -63,7 +66,9 @@ def monolithic_spec(num_joints: int, num_frames: int, in_chans: int,
         joint_indices=np.arange(num_joints, dtype=np.int32),
         config=MixSTEConfig(num_frames=num_frames, num_joints=num_joints,
                             in_chans=in_chans, embed_dim=embed_dim,
-                            depth=depth, drop_path_rate=drop_path_rate),
+                            depth=depth, drop_path_rate=drop_path_rate,
+                            drop_rate=drop_rate,
+                            attn_drop_rate=attn_drop_rate),
     )]
 
 

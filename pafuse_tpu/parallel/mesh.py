@@ -55,11 +55,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device_put a host batch with the data sharding (one transfer per
-    shard instead of replicate-then-slice)."""
+    """Ship a host batch to the mesh with the data sharding: one transfer
+    per shard instead of replicate-then-slice.  Works on multi-process
+    meshes too — each process materializes only its addressable shards
+    (``jax.device_put`` with a cross-process sharding would fail)."""
     sharding = data_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        if len(mesh.devices.ravel()) == len(jax.local_devices()):
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def make_hybrid_mesh(ici_per_host: int = -1, axis_names=("data",),
@@ -77,9 +86,19 @@ def make_hybrid_mesh(ici_per_host: int = -1, axis_names=("data",),
     n_hosts = jax.process_count()
     if n_hosts <= 1:
         return make_mesh((ici_per_host,), axis_names)
-    from jax.experimental import mesh_utils
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(len(jax.devices()) // n_hosts,),
-        dcn_mesh_shape=(n_hosts,),
-    )
-    return Mesh(devices.reshape(-1), tuple(axis_names))
+    devs = jax.devices()
+    slice_ids = {getattr(d, "slice_index", None) for d in devs}
+    if len(slice_ids) == n_hosts and None not in slice_ids:
+        # real multi-slice TPU deployment: let mesh_utils pick the
+        # ICI-optimal per-slice layout
+        from jax.experimental import mesh_utils
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(len(devs) // n_hosts,),
+            dcn_mesh_shape=(n_hosts,),
+        )
+        return Mesh(devices.reshape(-1), tuple(axis_names))
+    # multi-process without slice metadata (e.g. CPU multi-process, or
+    # multi-host single-slice): host-major / local-minor ordering keeps
+    # ICI-adjacent shards contiguous within a host, DCN only between hosts
+    arr = np.array(sorted(devs, key=lambda d: (d.process_index, d.id)))
+    return Mesh(arr, tuple(axis_names))

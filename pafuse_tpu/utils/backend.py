@@ -56,9 +56,19 @@ def host_compute():
     """
     import contextlib
     import jax
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()  # already on CPU
     try:
         cpu = jax.local_devices(backend="cpu")[0]
-    except Exception:          # no separate CPU backend (already on CPU)
+    except RuntimeError:       # no separate CPU backend registered
+        return contextlib.nullcontext()
+    except Exception as e:     # pragma: no cover - unexpected lookup failure
+        # Falling back silently would re-enable per-sequence dispatch to the
+        # tunneled accelerator — the multi-minute pathology this helper
+        # exists to prevent — so make the fallback loud.
+        import warnings
+        warnings.warn(f"host_compute: CPU backend lookup failed ({e!r}); "
+                      "host-side prep will run on the default accelerator")
         return contextlib.nullcontext()
     return jax.default_device(cpu)
 

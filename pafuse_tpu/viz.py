@@ -130,7 +130,8 @@ def draw_3d_image_hypotheses(predictions: np.ndarray, gt: np.ndarray,
                              out_dir: str, *, azim: float = 70.0,
                              frame_skip: int = 5, steps: str = "last",
                              prefix: str = "", linewidth: float = 0.5,
-                             max_frames: Optional[int] = None):
+                             max_frames: Optional[int] = None,
+                             show_gt: bool = True):
     """GT vs EACH hypothesis (reference ``draw_3d_image``,
     common/visualization.py:372-449): one figure per frame/step with the GT
     skeleton in solid blue and every hypothesis dashed in its own tableau
@@ -167,11 +168,12 @@ def draw_3d_image_hypotheses(predictions: np.ndarray, gt: np.ndarray,
                             [pred_c[h, child, 2], pred_c[h, parent, 2]],
                             zdir="z", linestyle="--", linewidth=linewidth,
                             c=colors[h % len(colors)])
-            for child, parent, _ in LIMBS:
-                ax.plot([gt_c[child, 0], gt_c[parent, 0]],
-                        [gt_c[child, 1], gt_c[parent, 1]],
-                        [gt_c[child, 2], gt_c[parent, 2]],
-                        zdir="z", c="blue", linewidth=0.9)
+            if show_gt:   # viz.viz_no_ground_truth hides the blue skeleton
+                for child, parent, _ in LIMBS:
+                    ax.plot([gt_c[child, 0], gt_c[parent, 0]],
+                            [gt_c[child, 1], gt_c[parent, 1]],
+                            [gt_c[child, 2], gt_c[parent, 2]],
+                            zdir="z", c="blue", linewidth=0.9)
             fig.savefig(os.path.join(out_dir,
                                      f"{prefix}hyp_f{f}_t{s}.png"),
                         bbox_inches="tight", pad_inches=0.0, dpi=150)
@@ -181,7 +183,7 @@ def draw_3d_image_hypotheses(predictions: np.ndarray, gt: np.ndarray,
 def draw_3d_image_select(predictions: np.ndarray, selected: np.ndarray,
                          gt: np.ndarray, out_dir: str, *,
                          azim: float = 70.0, max_frames: Optional[int] = None,
-                         frame_skip: int = 1):
+                         frame_skip: int = 1, show_gt: bool = True):
     """GT (blue) + J-Agg-selected prediction (red) per frame and step
     (capability of common/visualization.py:451-565, driven by
     main_draw_h3wb.py:660-667).
@@ -200,7 +202,8 @@ def draw_3d_image_select(predictions: np.ndarray, selected: np.ndarray,
         for s in range(S):
             fig = plt.figure(figsize=(6, 6))
             ax = _new_3d_axis(fig, 1, 1, 1, azim=azim)
-            draw_skeleton(ax, gt[f], color_override="tab:blue")
+            if show_gt:   # viz.viz_no_ground_truth
+                draw_skeleton(ax, gt[f], color_override="tab:blue")
             draw_skeleton(ax, selected[s, f], color_override="tab:red")
             fig.savefig(os.path.join(out_dir, f"select_f{f}_t{s}.png"),
                         bbox_inches="tight", dpi=80)

@@ -57,3 +57,9 @@ def test_3dhp_cli_debug(tmp_path, monkeypatch):
         "ft2d.num_proposals=1", "ft2d.debug=true", "general.nolog=true",
         f"general.checkpoint={tmp_path}/ckpt3dhp",
     ])
+    # eval txt report mirroring the H3WB regression record
+    import os
+    log = os.path.join(tmp_path, "ckpt3dhp", "3dhp_test_log_H1_K1.txt")
+    assert os.path.exists(log)
+    text = open(log).read()
+    assert "3DHP MPJPE P_Best" in text and "3DHP MPJPE P_Agg" in text

@@ -67,3 +67,21 @@ def test_unknown_override_rejected():
     assert args.general.brand_new == 7
     args = c.parse_cli(["+newgroup.sub.key=hi"])
     assert args.newgroup.sub.key == "hi"
+
+
+def test_plus_on_existing_key_rejected():
+    """'+existing.key=v' must raise (hydra errors on appending an existing
+    key); silent overwrite could mask a typo'd '+' prefix."""
+    import pytest
+    with pytest.raises(KeyError, match="already exists"):
+        cfg_mod.load_config(overrides=["+model.epochs=5"])
+
+
+def test_plus_through_scalar_leaf_rejected():
+    """'+a.b=v' where 'a' is an existing scalar leaf must not clobber the
+    leaf with a new group."""
+    import pytest
+    with pytest.raises(KeyError, match="is a value, not a group"):
+        cfg_mod.load_config(overrides=["+model.epochs.sub=5"])
+    # the original value must be intact on a fresh load
+    assert cfg_mod.load_config().model.epochs == 400

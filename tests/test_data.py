@@ -160,17 +160,6 @@ def test_chunked_rng_state_roundtrip(prepared):
     np.testing.assert_array_equal(b1[2], b2[2])
 
 
-def test_unchunked_augment(prepared):
-    ds, kps = prepared
-    cams, p3, p2 = h3wb.fetch(["S8"], kps, ds)
-    gen = sampling.UnchunkedSampler(cams, p3, p2, augment=True)
-    cam_b, b3d, b2d = next(gen.next_epoch())
-    assert b2d.shape[0] == 2
-    np.testing.assert_allclose(
-        b2d[1], geo.flip_pose_np(b2d[0]), atol=1e-6)
-    np.testing.assert_allclose(cam_b[1, 2], -cam_b[0, 2])
-
-
 # ---------------------------------------------------------------------------
 # eval_data_prepare windowing (main_h3wb.py:122-154)
 # ---------------------------------------------------------------------------

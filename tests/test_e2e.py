@@ -202,3 +202,80 @@ def test_in_the_wild_cli_full(tmp_path, monkeypatch):
     assert (out / "test_3d_output_vid_postprocess.npy").exists()
     assert list(out.glob("frame*_t*.png"))
     assert (out / "anim.gif").exists() and (out / "anim.gif").stat().st_size > 0
+
+
+def test_warmup_override_hard_errors():
+    """experiment.warmup is unimplemented in the reference's hydra path;
+    non-default values must raise instead of silently no-op."""
+    import pytest
+    from pafuse_tpu.cli import main_h3wb
+    with pytest.raises(ValueError, match="warmup"):
+        main_h3wb.main(["experiment.warmup=5", "general.nolog=true"])
+
+
+def test_actionwise_average_format_matches_reference():
+    """The averaged block must reproduce the reference's printf vocabulary
+    line for line (main_h3wb.py:1253-1340), incl. part-based breakdowns and
+    P2 averages; tools/check_parity.py's parser must round-trip it."""
+    from pafuse_tpu import evaluate as ev
+    rng = np.random.RandomState(3)
+    vals = {}
+    keys = ["J_Best", "P_Best", "P_Agg", "J_Agg", "P_Best_PB",
+            "P_Best_PB_body", "P_Best_PB_face", "P_Best_PB_left_hand",
+            "P_Best_PB_right_hand", "P_Agg_PB", "P_Agg_PB_body",
+            "P_Agg_PB_face", "P_Agg_PB_left_hand", "P_Agg_PB_right_hand"]
+    for k in keys:
+        vals[k] = rng.rand(2) * 100          # two DDIM steps
+    p2 = {k: rng.rand(2) * 100 for k in
+          ("P2_J_Best", "P2_P_Best", "P2_P_Agg", "P2_J_Agg")}
+    text = ev.format_actionwise_average(vals, p2)
+
+    # expected built with the REFERENCE's exact % format strings
+    expected = []
+    for ii in range(2):
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average J_Best: %f mm' % (ii, vals["J_Best"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Best: %f mm' % (ii, vals["P_Best"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Agg: %f mm' % (ii, vals["P_Agg"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average J_Agg: %f mm' % (ii, vals["J_Agg"][ii]))
+        expected.append('-----------------> Part-Based Evaluation <-----------------')
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based): %f mm' % (ii, vals["P_Best_PB"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) BODY: %f mm' % (ii, vals["P_Best_PB_body"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) FACE: %f mm' % (ii, vals["P_Best_PB_face"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) HANDS: %f mm' % (ii, (vals["P_Best_PB_left_hand"][ii] + vals["P_Best_PB_right_hand"][ii]) / 2.))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) LEFT HAND: %f mm' % (ii, vals["P_Best_PB_left_hand"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) RIGHT HAND: %f mm' % (ii, vals["P_Best_PB_right_hand"][ii]))
+        expected.append('-----------------> Part-Based Agg Evaluation <-----------------')
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based): %f mm' % (ii, vals["P_Agg_PB"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) BODY: %f mm' % (ii, vals["P_Agg_PB_body"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) FACE: %f mm' % (ii, vals["P_Agg_PB_face"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) HANDS: %f mm' % (ii, (vals["P_Agg_PB_left_hand"][ii] + vals["P_Agg_PB_right_hand"][ii]) / 2.))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) LEFT HAND: %f mm' % (ii, vals["P_Agg_PB_left_hand"][ii]))
+        expected.append('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) RIGHT HAND: %f mm' % (ii, vals["P_Agg_PB_right_hand"][ii]))
+        expected.append(' ')
+        expected.append(' ')
+        expected.append('step %d Protocol #2   (MPJPE) action-wise average J_Best: %f mm' % (ii, p2["P2_J_Best"][ii]))
+        expected.append('step %d Protocol #2   (MPJPE) action-wise average P_Best: %f mm' % (ii, p2["P2_P_Best"][ii]))
+        expected.append('step %d Protocol #2   (MPJPE) action-wise average P_Agg: %f mm' % (ii, p2["P2_P_Agg"][ii]))
+        expected.append('step %d Protocol #2   (MPJPE) action-wise average J_Agg: %f mm' % (ii, p2["P2_J_Agg"][ii]))
+    assert text == "\n".join(expected) + "\n"
+
+    # the parity harness parses every averaged metric back out (last step)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "check_parity", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "check_parity.py"))
+    cp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cp)
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    parsed = cp.parse_reference_log(path)
+    os.unlink(path)
+    assert abs(parsed["J_Best"] - vals["J_Best"][1]) < 5e-7 * vals["J_Best"][1] + 1e-6
+    assert abs(parsed["P_Best_PB_body"] - vals["P_Best_PB_body"][1]) < 1e-4
+    assert abs(parsed["P_Agg_PB_right_hand"] - vals["P_Agg_PB_right_hand"][1]) < 1e-4
+    assert abs(parsed["P2_J_Agg"] - p2["P2_J_Agg"][1]) < 1e-4
+    expected_hands = (vals["P_Best_PB_left_hand"][1]
+                      + vals["P_Best_PB_right_hand"][1]) / 2.
+    assert abs(parsed["P_Best_PB_hands"] - expected_hands) < 1e-4

@@ -29,10 +29,10 @@ def test_single_compilation_across_sequence_lengths():
         pass
 
     # lengths chosen so naive bs=min(64, n_windows) would give 4 distinct
-    # batch shapes: 1, 2, 3, 5 windows
+    # batch shapes: 1, 2, 3, 5 windows (11 pooled windows total)
     seqs = _seqs([5, 15, 27, 41], rng)
     pin = ev.pinned_window_batch([s[2] for s in seqs], 9)
-    assert pin == 8  # 5 windows bucketed to the next power of two
+    assert pin == 16  # 11 POOLED windows bucketed to the next power of two
     acc, _ = ev.evaluate_sequences(model, params, seqs, _Args(),
                                    receptive_field=9, num_proposals=1,
                                    sampling_timesteps=1, window_batch=pin)

@@ -160,3 +160,63 @@ def test_kernel_fns_decline_on_cpu(params, rng):
     assert att.select_block_fn("auto") is att.pallas_block
     assert att.select_block_fn("auto", train=True) is None
     assert att.select_layer_fn("layer", train=True) is None
+
+
+# ---------------------------------------------------------------------------
+# Dropout (model.dropout / attn_drop — reference mixste.py:35,56-59,73)
+# ---------------------------------------------------------------------------
+
+def test_dropout_inactive_paths_identical(params, rng):
+    """drop_rate=0 must be bit-identical to the no-dropout config, and
+    dropout must never fire in eval mode even with nonzero rates."""
+    x2d = jnp.asarray(rng.randn(2, 9, 7, 2), jnp.float32)
+    x3d = jnp.asarray(rng.randn(2, 9, 7, 3), jnp.float32)
+    t = jnp.asarray([3, 7])
+    base = np.asarray(mixste.mixste_forward(params, CFG, x2d, x3d, t))
+    cfg_d = MixSTEConfig(**{**CFG.__dict__, "drop_rate": 0.3,
+                            "attn_drop_rate": 0.1})
+    # eval mode (train=False): rates ignored
+    out_eval = np.asarray(mixste.mixste_forward(params, cfg_d, x2d, x3d, t))
+    np.testing.assert_array_equal(base, out_eval)
+    # train mode with rng but zero rates: identical draws to dropout-free path
+    k = jax.random.PRNGKey(5)
+    a = np.asarray(mixste.mixste_forward(params, CFG, x2d, x3d, t,
+                                         train=True, rng=k))
+    b = np.asarray(mixste.mixste_forward(
+        params, MixSTEConfig(**{**CFG.__dict__, "drop_rate": 0.0}),
+        x2d, x3d, t, train=True, rng=k))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dropout_active_in_train(params, rng):
+    """Nonzero drop_rate changes the train-mode output, is rng-deterministic,
+    and keeps magnitudes bounded (inverted dropout)."""
+    x2d = jnp.asarray(rng.randn(4, 9, 7, 2), jnp.float32)
+    x3d = jnp.asarray(rng.randn(4, 9, 7, 3), jnp.float32)
+    t = jnp.asarray([3, 7, 11, 13])
+    cfg_d = MixSTEConfig(**{**CFG.__dict__, "drop_rate": 0.5,
+                            "attn_drop_rate": 0.25})
+    k = jax.random.PRNGKey(5)
+    out1 = np.asarray(mixste.mixste_forward(params, cfg_d, x2d, x3d, t,
+                                            train=True, rng=k))
+    out2 = np.asarray(mixste.mixste_forward(params, cfg_d, x2d, x3d, t,
+                                            train=True, rng=k))
+    np.testing.assert_array_equal(out1, out2)          # deterministic per key
+    base = np.asarray(mixste.mixste_forward(params, CFG, x2d, x3d, t,
+                                            train=True, rng=k))
+    assert not np.allclose(out1, base)                 # dropout fired
+    out3 = np.asarray(mixste.mixste_forward(params, cfg_d, x2d, x3d, t,
+                                            train=True,
+                                            rng=jax.random.PRNGKey(6)))
+    assert not np.allclose(out1, out3)                 # key-dependent
+    assert np.all(np.isfinite(out1))
+
+
+def test_dropout_expectation_preserved(rng):
+    """Inverted dropout preserves E[x] (torch nn.Dropout semantics)."""
+    from pafuse_tpu.models.mixste import _dropout
+    x = jnp.ones((200, 200), jnp.float32)
+    y = np.asarray(_dropout(x, 0.3, jax.random.PRNGKey(0)))
+    assert abs(y.mean() - 1.0) < 0.02
+    kept = y[y != 0]
+    np.testing.assert_allclose(kept, 1.0 / 0.7, rtol=1e-5)

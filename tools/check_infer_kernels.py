@@ -64,7 +64,11 @@ def main():
     worst = 0.0
     for (L, C) in [(24, 384), (68, 224), (21, 256), (27, 384)]:
         worst = max(worst, check_block(L, C))
-    worst = max(worst, check_layer(24, 384))
+    # the layer kernel feeds token axes at raw lengths (no Lp round-up like
+    # the block path) — verify the unpadded handling on-chip at ALL flagship
+    # part shapes, not just the body one
+    for (L, C) in [(24, 384), (68, 224), (21, 256)]:
+        worst = max(worst, check_layer(L, C))
     ok = worst < 5e-3
     print(f"worst {worst:.2e} -> {'OK' if ok else 'FAIL'}")
     return 0 if ok else 1

@@ -42,6 +42,25 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 METRICS = ("J_Best", "P_Best", "P_Agg", "J_Agg")
 
+#: reference averaged-block labels (main_h3wb.py:1253-1358) -> our
+#: EvalAccumulator keys ('*_hands' is the (L+R)/2 composite)
+LABEL_TO_KEY = {
+    "J_Best": "J_Best", "P_Best": "P_Best",
+    "P_Agg": "P_Agg", "J_Agg": "J_Agg",
+    "P_Best (Part-Based)": "P_Best_PB",
+    "P_Best (Part-Based) BODY": "P_Best_PB_body",
+    "P_Best (Part-Based) FACE": "P_Best_PB_face",
+    "P_Best (Part-Based) HANDS": "P_Best_PB_hands",
+    "P_Best (Part-Based) LEFT HAND": "P_Best_PB_left_hand",
+    "P_Best (Part-Based) RIGHT HAND": "P_Best_PB_right_hand",
+    "P_Agg (Part-Based)": "P_Agg_PB",
+    "P_Agg (Part-Based) BODY": "P_Agg_PB_body",
+    "P_Agg (Part-Based) FACE": "P_Agg_PB_face",
+    "P_Agg (Part-Based) HANDS": "P_Agg_PB_hands",
+    "P_Agg (Part-Based) LEFT HAND": "P_Agg_PB_left_hand",
+    "P_Agg (Part-Based) RIGHT HAND": "P_Agg_PB_right_hand",
+}
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -70,15 +89,23 @@ def parse_args(argv=None):
 
 
 def parse_reference_log(path):
-    """Extract {metric: value_mm} from 'action-wise average' lines (the last
-    DDIM step's block wins, matching how results are quoted)."""
+    """Extract {metric: value_mm} from 'action-wise average' lines, incl.
+    part-based breakdowns and Protocol #2 (prefixed 'P2_') — the last DDIM
+    step's block wins, matching how results are quoted."""
     out = {}
-    pat = re.compile(r"action-wise average (\w+):\s*([0-9.]+)\s*mm")
+    pat = re.compile(r"Protocol #(\d)\s+\(MPJPE\) action-wise average "
+                     r"([\w #()-]+?):\s*(-?[0-9.]+)\s*mm")
     with open(path) as f:
         for line in f:
             m = pat.search(line)
-            if m and m.group(1) in METRICS:
-                out[m.group(1)] = float(m.group(2))  # later steps overwrite
+            if not m:
+                continue
+            key = LABEL_TO_KEY.get(m.group(2).strip())
+            if key is None:
+                continue
+            if m.group(1) == "2":
+                key = "P2_" + key
+            out[key] = float(m.group(3))  # later steps overwrite
     return out
 
 
@@ -322,19 +349,27 @@ def main(argv=None):
                 receptive_field=a.frames, num_proposals=P,
                 sampling_timesteps=T, window_batch=pin)
             per_action[action_key] = acc.means_mm()
+        keys = next(iter(per_action.values())).keys()
         avg = {k: float(np.atleast_1d(np.mean(
             [m[k] for m in per_action.values()], axis=0))[-1])
-            for k in METRICS}
+            for k in keys}
+        for agg in ("P_Best_PB", "P_Agg_PB"):   # (L+R)/2 composite
+            avg[f"{agg}_hands"] = 0.5 * (avg[f"{agg}_left_hand"]
+                                         + avg[f"{agg}_right_hand"])
 
         lines += [f"## Op-point P={P}, T={T} (S8, action-wise average, "
                   "final DDIM step)", ""]
         ref_vals = (parse_reference_log(ref_logs[(P, T)])
                     if (P, T) in ref_logs else None)
+        # headline metrics first, then every part-based key both sides have
+        compare = list(METRICS) + sorted(
+            k for k in avg if k not in METRICS
+            and (ref_vals is None or k in ref_vals))
         if ref_vals:
             lines += ["| metric | ours (mm) | reference (mm) | delta (mm) | "
                       "within ±{:.1f}mm |".format(a.budget_mm),
                       "|---|---|---|---|---|"]
-            for k in METRICS:
+            for k in compare:
                 d = avg[k] - ref_vals.get(k, float("nan"))
                 within = abs(d) <= a.budget_mm
                 ok &= within
@@ -343,7 +378,7 @@ def main(argv=None):
                              f"{d:+.3f} | {'yes' if within else '**NO**'} |")
         else:
             lines += ["| metric | ours (mm) |", "|---|---|"]
-            lines += [f"| {k} | {avg[k]:.3f} |" for k in METRICS]
+            lines += [f"| {k} | {avg[k]:.3f} |" for k in compare]
             lines += ["", "_No reference log supplied for this op-point; "
                       "run the reference eval and pass --reference-log._"]
         lines.append("")

@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Flagship-scale rehearsal of the real-checkpoint parity harness.
+
+The ±0.5 mm target needs the (absent) official H3WB npz + released
+``pafuse_model.bin``; this tool rehearses the ENTIRE pipeline at true
+flagship scale with fabricated stand-ins so that, when the real artifacts
+are mounted, ``tools/check_parity.py`` is known-good end to end:
+
+1. fabricate real-format npz files (official layout, 133 joints + metadata);
+2. produce a flagship-size ``pafuse_model.bin`` (depth 8, part widths
+   384/224/256, ~35M params) — either converted from a trained ``.npz``
+   (``--from-npz``, preferred: a briefly-trained model is noise-robust, so
+   the metric diff is meaningful at P=1,T=1) or from random init;
+3. run the REFERENCE's own ``evaluate()`` (imported read-only from
+   /root/reference with hydra/omegaconf stubbed) over the S8 test actions
+   at the requested op-point, writing its ``h36m_test_log_H{P}_K{T}.txt``
+   and the action-wise averaged block in the reference's exact format;
+4. run ``tools/check_parity.py`` against that log (data-prep bit-parity,
+   injected-noise implementation check at flagship scale, metric diff)
+   and write ``PARITY_REAL.md``.
+
+Usage:
+    python tools/rehearse_parity.py --workdir /tmp/rehearsal \
+        [--from-npz checkpoint/epoch_5.npz] [--frames-per-action 54]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def _stub_hydra_omegaconf():
+    """main_h3wb.py imports hydra/omegaconf at module level; neither is
+    installed here.  Provide inert stand-ins (we never call the decorated
+    main, only ``evaluate``)."""
+    hydra = types.ModuleType("hydra")
+    hydra.main = lambda *a, **k: (lambda fn: fn)
+    sys.modules.setdefault("hydra", hydra)
+    oc = types.ModuleType("omegaconf")
+
+    class _DictConfig(dict):
+        pass
+
+    oc.DictConfig = _DictConfig
+    oc.ListConfig = list
+    oc.OmegaConf = types.SimpleNamespace(
+        to_yaml=lambda c: str(c), create=lambda *a, **k: _DictConfig())
+    sys.modules.setdefault("omegaconf", oc)
+
+
+def fabricate_bin(bin_path: str, from_npz: str | None):
+    """Flagship params -> torch .bin in the reference's save_state layout."""
+    import jax
+    import torch
+    from pafuse_tpu import checkpoints
+    from pafuse_tpu.diffusion import D3DP, D3DPConfig
+
+    cfg = D3DPConfig()  # flagship defaults: F=27, depth 8, T=1000
+    model = D3DP(cfg)
+    params = model.init_params(jax.random.PRNGKey(7))
+    if from_npz:
+        params = checkpoints.load_state(from_npz, params)["params"]
+        print(f"fabricate_bin: weights from {from_npz}")
+    n = model.model.param_count(params)
+    assert 30e6 < n < 40e6, n
+    sd = checkpoints.export_torch_state_dict(params)
+    torch.save({"model_pos": {k: torch.from_numpy(v) for k, v in sd.items()},
+                "epoch": 5, "lr": 5e-5}, bin_path)
+    print(f"fabricate_bin: wrote {bin_path} ({n/1e6:.2f}M params)")
+
+
+def reference_eval(data_dir: str, ckpt_dir: str, bin_name: str,
+                   P: int, T: int):
+    """Drive the reference's evaluate() per S8 action; emit its txt log +
+    the averaged block (main_h3wb.py:1117-1359 flow, reference code called
+    read-only)."""
+    from torch_oracle import _install_timm_stub, patch_cuda_to_cpu
+    _install_timm_stub()
+    patch_cuda_to_cpu()
+    _stub_hydra_omegaconf()
+    import torch
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import main_h3wb as ref_main
+    from common.generators import UnchunkedGenerator_Seq
+    from common.h3wb_dataset import Human3WBDataset
+    from common.camera import normalize_screen_coordinates
+    from common.diffusionpose import D3DP as RefD3DP
+
+    args = types.SimpleNamespace(
+        general=types.SimpleNamespace(part_based_model=True,
+                                      checkpoint=ckpt_dir,
+                                      evaluate=bin_name),
+        model=types.SimpleNamespace(number_of_frames=27,
+                                    test_time_augmentation=True,
+                                    diff_model="MixSTE2", input_size=5,
+                                    dep=8, cs=288, batch_size=64),
+        data=types.SimpleNamespace(num_kps=134, merge_hands=True),
+        ft2d=types.SimpleNamespace(timestep=1000, scale=1.0,
+                                   sampling_timesteps=T, num_proposals=P,
+                                   debug=False, p2=False),
+    )
+
+    dataset = Human3WBDataset(os.path.join(data_dir, "train_h3wb.npz"))
+    # data prep exactly as the reference driver (main_h3wb.py:620-648)
+    for subject in dataset.subjects():
+        for action in dataset[subject].keys():
+            anim = dataset[subject][action]
+            anim["positions"] /= 1000
+            for cam_idx in range(len(anim["positions_3d"])):
+                anim["positions_3d"][cam_idx] /= 1000
+    keypoints = {}
+    for subject in dataset.subjects():
+        keypoints[subject] = {}
+        for action in dataset[subject].keys():
+            keypoints[subject][action] = []
+            for cam_idx, kps in enumerate(dataset[subject][action]["pose_2d"]):
+                cam = dataset.cameras()[subject][cam_idx]
+                kps = kps.copy()
+                kps[..., :2] = normalize_screen_coordinates(
+                    kps[..., :2], w=cam["res_w"], h=cam["res_h"])
+                keypoints[subject][action].append(kps)
+
+    sym = dataset.keypoints_metadata["keypoints_symmetry"]
+    kps_left, kps_right = list(sym[0]), list(sym[1])
+
+    model_pos = RefD3DP(args, kps_left, kps_right, dataset, is_train=False,
+                        num_proposals=P, sampling_timesteps=T)
+    model_pos.device = "cpu"
+    model_pos.eval()
+
+    subjects_test = ["S8"]
+    all_actions = {}
+    for subject in subjects_test:
+        for action in dataset[subject].keys():
+            all_actions.setdefault(action.split(" ")[0], []).append(
+                (subject, action))
+
+    per_action = []
+    for action_key in sorted(all_actions):
+        cams, poses, poses_2d = ref_main.fetch_actions(
+            all_actions[action_key], keypoints, dataset, stride=1)
+        gen = UnchunkedGenerator_Seq(cams, poses, poses_2d,
+                                     pad=0, causal_shift=0, augment=True,
+                                     kps_left=kps_left, kps_right=kps_right,
+                                     joints_left=kps_left,
+                                     joints_right=kps_right)
+        t0 = time.time()
+        res = ref_main.evaluate(dataset, gen, model_pos, args, kps_left,
+                                kps_right, receptive_field=27,
+                                action=action_key)
+        print(f"reference eval {action_key}: {time.time() - t0:.1f}s")
+        per_action.append([r.cpu() for r in res])
+
+    # action-wise average block, reference format (main_h3wb.py:1253-1340)
+    import numpy as np
+    stacked = [torch.stack([pa[i] for pa in per_action]).mean(dim=0).numpy()
+               for i in range(len(per_action[0]))]
+    (e1, e1_h, e1_h_pb, e1_mean, e1_select, e1_b, e1_f, e1_lh, e1_rh,
+     a_pb, a_b, a_f, a_lh, a_rh) = stacked
+    log_path = os.path.join(ckpt_dir, f"h36m_test_log_H{P}_K{T}.txt")
+    with open(log_path, "a") as f:
+        for ii in range(len(np.atleast_1d(e1))):
+            def w(line):
+                print(line)
+                f.write(line + "\n")
+            g = lambda a: float(np.atleast_1d(a)[ii])  # noqa: E731
+            w('step %d Protocol #1   (MPJPE) action-wise average J_Best: %f mm' % (ii, g(e1)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Best: %f mm' % (ii, g(e1_h)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Agg: %f mm' % (ii, g(e1_mean)))
+            w('step %d Protocol #1   (MPJPE) action-wise average J_Agg: %f mm' % (ii, g(e1_select)))
+            w('-----------------> Part-Based Evaluation <-----------------')
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based): %f mm' % (ii, g(e1_h_pb)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) BODY: %f mm' % (ii, g(e1_b)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) FACE: %f mm' % (ii, g(e1_f)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) HANDS: %f mm' % (ii, (g(e1_lh) + g(e1_rh)) / 2.))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) LEFT HAND: %f mm' % (ii, g(e1_lh)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based) RIGHT HAND: %f mm' % (ii, g(e1_rh)))
+            w('-----------------> Part-Based Agg Evaluation <-----------------')
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based): %f mm' % (ii, g(a_pb)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) BODY: %f mm' % (ii, g(a_b)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) FACE: %f mm' % (ii, g(a_f)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) HANDS: %f mm' % (ii, (g(a_lh) + g(a_rh)) / 2.))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) LEFT HAND: %f mm' % (ii, g(a_lh)))
+            w('step %d Protocol #1   (MPJPE) action-wise average P_Agg (Part-Based) RIGHT HAND: %f mm' % (ii, g(a_rh)))
+    return log_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="/tmp/parity_rehearsal")
+    p.add_argument("--frames-per-action", type=int, default=54)
+    p.add_argument("--from-npz", default="",
+                   help="convert this trained .npz into the fabricated .bin "
+                        "(recommended; random weights are noise-sensitive)")
+    p.add_argument("--proposals", type=int, default=1)
+    p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--impl-windows", type=int, default=2)
+    p.add_argument("--budget-mm", type=float, default=0.5)
+    a = p.parse_args(argv)
+
+    os.makedirs(a.workdir, exist_ok=True)
+    data_dir = os.path.join(a.workdir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    # torch must initialize before the tunneled jax backend (deadlock
+    # otherwise, .claude/skills/verify) — do all torch-side stages first
+    from pathlib import Path
+    from test_real_format import _make_reference_npz
+    _make_reference_npz(Path(data_dir), frames=a.frames_per_action)
+    print(f"fabricated npz in {data_dir}")
+
+    t0 = time.time()
+    bin_path = os.path.join(a.workdir, "pafuse_model.bin")
+    fabricate_bin(bin_path, a.from_npz or None)
+
+    log_path = reference_eval(data_dir, a.workdir, "pafuse_model.bin",
+                              a.proposals, a.steps)
+    t_ref = time.time() - t0
+    print(f"reference-side eval + conversion: {t_ref:.1f}s -> {log_path}")
+
+    import check_parity
+    t0 = time.time()
+    rc = check_parity.main([
+        "--data-dir", data_dir, "--checkpoint", bin_path,
+        "--op-points", f"{a.proposals}x{a.steps}",
+        "--impl-windows", str(a.impl_windows),
+        "--budget-mm", str(a.budget_mm),
+        "--reference-log", log_path,
+        "--out", os.path.join(a.workdir, "PARITY_REAL.md")])
+    print(f"check_parity: rc={rc} in {time.time() - t0:.1f}s")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
