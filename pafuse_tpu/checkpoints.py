@@ -236,14 +236,33 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
 
 
 def export_torch_state_dict(params: Dict[str, Any],
-                            part_based: bool = True) -> Dict[str, np.ndarray]:
+                            part_based: bool = True,
+                            schedule_timesteps: int | None = None
+                            ) -> Dict[str, np.ndarray]:
     """Inverse of :func:`convert_torch_state_dict`: our param tree ->
     reference-named torch-layout state dict (``pose_estimator.`` prefixed).
 
     Used for round-trip testing of the converter and for exporting trained
-    weights back to the reference format.
+    weights back to the reference format.  Pass ``schedule_timesteps`` to
+    also emit the reference D3DP's registered schedule buffers (betas,
+    alphas_cumprod, ... — diffusionpose.py:107-132): the reference's
+    ``evaluate`` loads checkpoints with strict=True and requires them
+    (found by the flagship rehearsal, tools/rehearse_parity.py).
     """
     out: Dict[str, np.ndarray] = {}
+    if schedule_timesteps is not None:
+        from pafuse_tpu.diffusion import make_schedule
+        sched = make_schedule(schedule_timesteps)
+        for name in ("betas", "alphas_cumprod", "alphas_cumprod_prev",
+                     "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+                     "sqrt_recip_alphas_cumprod",
+                     "sqrt_recipm1_alphas_cumprod", "posterior_variance",
+                     "posterior_log_variance_clipped",
+                     "posterior_mean_coef1", "posterior_mean_coef2"):
+            out[name] = getattr(sched, name).copy()
+        # registered by the reference but unused by us (diffusionpose.py:113)
+        out["log_one_minus_alphas_cumprod"] = np.log(
+            1.0 - sched.alphas_cumprod.astype(np.float64)).astype(np.float32)
 
     def emit_mixste(prefix: str, tree: Dict[str, Any]):
         def lin(name, p):

@@ -175,17 +175,33 @@ def wb_pose_from_parts(part_pose, connection_of_joint=None):
     :func:`center_pose_parts` up to the global root translation).
 
     Single-gather formulation of common/utils.py:113-126:
-    ``out[..., j, :] = pose[..., j, :] + pose[..., connection_of(j), :]``.
+    ``out[..., j, :] = pose[..., j, :] + pose[..., connection_of(j), :]``,
+    except self-connected joints (the body root, connection 0 == itself)
+    which come out EXACTLY zero.
+
+    The zero-root exception replicates a subtle reference behavior:
+    ``center_pose_at_root(..., revert=True)`` negates the selected root row
+    through a torch VIEW (utils.py:87-90 ``offset *= -1``), mutating the
+    input in place, so the body root becomes ``-r - (-r) = 0`` rather than
+    ``r + r``.  On part-centered GT (root already 0) both forms agree —
+    which is why round-trip tests never caught it — but on real model
+    predictions (root ≈ ε ≠ 0) the reference's assembled root is 0 while
+    the naive gather gives 2ε, shifting every downstream root-centered
+    metric.  Found by the flagship rehearsal (tools/rehearse_parity.py).
 
     NOTE: like the reference, the anchor positions are read from the *input*
-    (body joints have connection 0, whose value is 0 after part centering, so
-    the body passes through unchanged and face/hands attach to the centered
-    body's nose/wrists).
+    (face/hands attach to the centered body's nose/wrists).
     """
     part_pose = jnp.asarray(part_pose)
-    table = sk.CONNECTION_OF_JOINT if connection_of_joint is None else connection_of_joint
+    table = np.asarray(sk.CONNECTION_OF_JOINT if connection_of_joint is None
+                       else connection_of_joint)
     anchors = jnp.take(part_pose, jnp.asarray(table), axis=-2)
-    return part_pose + anchors
+    out = part_pose + anchors
+    self_connected = table == np.arange(table.shape[0])
+    if np.any(self_connected):
+        mask = jnp.asarray(~self_connected, out.dtype)[..., :, None]
+        out = out * mask
+    return out
 
 
 def flip_pose(pose, flip_permutation=None):

@@ -189,3 +189,33 @@ def test_uvd2xyz_pinhole_inverse(rng):
     out = np.asarray(geo.uvd2xyz(uvd, xyz, cam))
     expected = xyz - xyz[:, :, 0:1]
     np.testing.assert_allclose(out, expected, atol=1e-4)
+
+
+def test_wb_pose_from_parts_nonzero_root_matches_reference():
+    """Assembly parity on data whose body root is NOT zero (real model
+    predictions).  The reference's revert-centering negates the root row
+    through a torch view, so the assembled body root is exactly 0 — on
+    part-centered GT (root already 0) the naive gather agrees, which hid
+    this; found by the flagship rehearsal."""
+    import os
+    import sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference unavailable")
+    import torch
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from common.utils import wb_pose_from_parts as ref_wb
+
+    class Ds:
+        parts_joint_indices = {k: list(v)
+                               for k, v in sk.PARTS_JOINT_INDICES.items()}
+        root_indices = dict(sk.ROOT_INDICES)
+        parts_connection_indices = dict(sk.PARTS_CONNECTION_INDICES)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 5, 134, 3).astype(np.float32)  # roots nonzero
+    ref_out = ref_wb(torch.from_numpy(x.copy()), dataset=Ds()).numpy()
+    ours = np.asarray(geo.wb_pose_from_parts(x))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+    # the assembled body root is exactly zero in the reference semantics
+    np.testing.assert_array_equal(ours[..., 0, :], 0.0)

@@ -67,10 +67,12 @@ def _run_parity(frames, depth, timesteps, batch, atol_mm):
                      depth=depth, drop_path_rate=0.0)
     ours = D3DP(cfg)
     params = ours.init_params(jax.random.PRNGKey(0))
-    sd = checkpoints.export_torch_state_dict(params)
-    missing, unexpected = ref.load_state_dict(
-        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
-    assert not unexpected, unexpected
+    # STRICT load: with schedule_timesteps the export carries the reference's
+    # registered schedule buffers too, i.e. a complete reference checkpoint
+    sd = checkpoints.export_torch_state_dict(
+        params, schedule_timesteps=timesteps)
+    ref.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=True)
 
     rng = np.random.RandomState(1)
     x2d = rng.randn(batch, frames, 134, 2).astype(np.float32)

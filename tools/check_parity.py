@@ -241,16 +241,19 @@ def implementation_check(model, params, dataset, keypoints, subjects,
     finally:
         torch.randn, torch.randn_like = orig_randn, orig_like
 
-    # force f32 + XLA attention for an apples-to-apples numerics check
+    # force f32 + XLA attention for an apples-to-apples numerics check;
+    # 'highest' matmul precision because TPU f32 matmuls otherwise run in
+    # bf16 passes (multi-mm deviation vs torch-CPU f32 at flagship depth)
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
     import dataclasses
     ours = D3DP(dataclasses.replace(cfg, num_proposals=P,
                                     sampling_timesteps=S),
                 flip_permutation=dataset.flip_permutation)
-    out = np.asarray(ours.ddim_sample(
-        params, jax.random.PRNGKey(1), jnp.asarray(w2d),
-        jnp.asarray(x2d_flip), init_noise=init_noise,
-        step_noise=step_noise))
+    with jax.default_matmul_precision("highest"):
+        out = np.asarray(ours.ddim_sample(
+            params, jax.random.PRNGKey(1), jnp.asarray(w2d),
+            jnp.asarray(x2d_flip), init_noise=init_noise,
+            step_noise=step_noise))
     delta_mm = float(np.abs(out - ref_out).max()) * 1000.0
     return delta_mm
 

@@ -72,7 +72,10 @@ def fabricate_bin(bin_path: str, from_npz: str | None):
         print(f"fabricate_bin: weights from {from_npz}")
     n = model.model.param_count(params)
     assert 30e6 < n < 40e6, n
-    sd = checkpoints.export_torch_state_dict(params)
+    # schedule buffers included: the reference's evaluate() loads with
+    # strict=True and requires them (this is what the real .bin contains)
+    sd = checkpoints.export_torch_state_dict(
+        params, schedule_timesteps=cfg.timesteps)
     torch.save({"model_pos": {k: torch.from_numpy(v) for k, v in sd.items()},
                 "epoch": 5, "lr": 5e-5}, bin_path)
     print(f"fabricate_bin: wrote {bin_path} ({n/1e6:.2f}M params)")
@@ -211,6 +214,10 @@ def main(argv=None):
     os.makedirs(a.workdir, exist_ok=True)
     data_dir = os.path.join(a.workdir, "data")
     os.makedirs(data_dir, exist_ok=True)
+
+    # torch must be imported before the tunneled jax backend initializes
+    # (deadlock otherwise, .claude/skills/verify) — import it first
+    import torch  # noqa: F401
 
     # torch must initialize before the tunneled jax backend (deadlock
     # otherwise, .claude/skills/verify) — do all torch-side stages first
