@@ -53,7 +53,7 @@ class EvalAccumulator:
 
 def get_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
                   part_based: bool = True, with_p2_data: bool = False,
-                  mesh=None):
+                  mesh=None, inject_noise: bool = False):
     """Memoized ``build_eval_step``: one jitted step per (model, P, T, flags)
     so repeated per-action evaluation reuses the same jit cache instead of
     re-tracing/recompiling for every action."""
@@ -62,17 +62,18 @@ def get_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
         cache = {}
         model._eval_step_cache = cache
     key = (num_proposals, sampling_timesteps, part_based, with_p2_data,
-           id(mesh) if mesh is not None else None)
+           id(mesh) if mesh is not None else None, inject_noise)
     if key not in cache:
         cache[key] = build_eval_step(model, num_proposals, sampling_timesteps,
                                      part_based=part_based,
-                                     with_p2_data=with_p2_data, mesh=mesh)
+                                     with_p2_data=with_p2_data, mesh=mesh,
+                                     inject_noise=inject_noise)
     return cache[key]
 
 
 def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
                     part_based: bool = True, with_p2_data: bool = False,
-                    mesh=None):
+                    mesh=None, inject_noise: bool = False):
     """Returns jitted
     ``step(params, rng, x2d, x2d_flip, x3d_parts, traj, cam, mask) -> metrics``
     operating on one fixed-size window batch.
@@ -80,13 +81,20 @@ def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
     ``x3d_parts`` is the part-centered GT (as fed to the model in the
     reference), ``traj`` the GT root positions, ``mask`` a per-window 0/1
     validity vector for padded rows.
+
+    With ``inject_noise`` the step takes two extra trailing arguments
+    ``(init_noise, step_noise)`` — per-window DDIM noise of shapes
+    ``(B, H, F, N, 3)`` and ``(S, B, H, F, N, 3)`` — enabling bit-aligned
+    cross-framework pipeline comparisons (tools/check_parity.py).
     """
 
-    def step(params, rng, x2d, x2d_flip, x3d_parts, traj, cam, mask):
+    def step(params, rng, x2d, x2d_flip, x3d_parts, traj, cam, mask,
+             init_noise=None, step_noise=None):
         preds = model.eval_forward(
             params, rng, x2d, x2d_flip,
             num_proposals=num_proposals,
-            sampling_timesteps=sampling_timesteps)        # (B,S,H,F,N,3)
+            sampling_timesteps=sampling_timesteps,
+            init_noise=init_noise, step_noise=step_noise)  # (B,S,H,F,N,3)
         if part_based:
             pred_wb = geometry.wb_pose_from_parts(preds)
             gt_wb = geometry.wb_pose_from_parts(x3d_parts)
@@ -142,8 +150,13 @@ def build_eval_step(model: D3DP, num_proposals: int, sampling_timesteps: int,
         # replicated; XLA SPMD inserts the metric all-reduces over ICI
         from pafuse_tpu.parallel.mesh import data_sharding, replicated
         repl, data = replicated(mesh), data_sharding(mesh)
-        return jax.jit(step, in_shardings=(
-            repl, repl, data, data, data, data, data, data))
+        shard = (repl, repl, data, data, data, data, data, data)
+        if inject_noise:
+            # step noise is (S, B, ...): batch axis second
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            step_sh = NamedSharding(mesh, P(None, "data"))
+            shard = shard + (data, step_sh)
+        return jax.jit(step, in_shardings=shard)
     return jax.jit(step)
 
 
@@ -170,6 +183,8 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                        quickdebug: bool = False,
                        collect_p2: bool = False,
                        return_predictions: bool = False,
+                       noise_table=None,
+                       sequence_batches: bool = False,
                        ) -> Tuple[EvalAccumulator, Optional[np.ndarray]]:
     """Evaluate a list of (cam, pose_3d, pose_2d) sequences.
 
@@ -189,13 +204,27 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     matters through a tunneled PJRT backend with ~10s-of-ms dispatch
     latency.  Metrics are unchanged: masked rows never contribute, and the
     accumulation weight is the batch's real-window count.
+
+    ``noise_table`` (optional) injects deterministic DDIM noise per pooled
+    window: a tuple ``(init, step)`` of shapes ``(n_windows, H, F, N, 3)``
+    and ``(n_windows, S, H, F, N, 3)`` in pooled window order — the basis of
+    the bit-aligned cross-framework comparison in tools/check_parity.py.
+
+    ``sequence_batches`` restores the reference's batch granularity: window
+    batches never mix sequences (each sequence's windows are chunked into
+    ``bs``-row padded batches on their own).  P_Best selects its argmin
+    hypothesis by BATCH-mean error (loss.py:114-168), so its value depends
+    on batch composition in the reference too — strict-parity runs
+    (tools/check_parity.py) must match the reference's per-sequence
+    sub-batching; the default pooled mode trades that fuzziness for fewer
+    padded rows and is the production path.
     """
     part_based = model.cfg.part_based
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     step = get_eval_step(model, num_proposals, sampling_timesteps,
                          part_based=part_based,
                          with_p2_data=collect_p2 or return_predictions,
-                         mesh=mesh)
+                         mesh=mesh, inject_noise=noise_table is not None)
     acc = EvalAccumulator()
     p2_acc = EvalAccumulator()
     all_preds = []
@@ -286,31 +315,69 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
         return np.ascontiguousarray(
             a.reshape((nb, bs) + a.shape[1:]), dtype=np.float32)
 
-    n_windows = sum(p.shape[0] for p in parts_2d)
-    n_batches = -(-n_windows // bs)
-    # one transfer per modality for the whole call; per-batch slices below
-    # are device-side indexing, not transfers
-    d2d = jnp.asarray(pooled(parts_2d))
-    d2d_flip = jnp.asarray(pooled(parts_2d_flip))
-    dgt = jnp.asarray(pooled(parts_gt))
-    dtraj = jnp.asarray(pooled(parts_traj))
-    dcam = jnp.asarray(pooled(parts_cam))
-    del parts_2d, parts_2d_flip, parts_gt, parts_traj, parts_cam
-    masks = np.ones((n_batches, bs), np.float32)
-    masks[-1, n_windows - (n_batches - 1) * bs:] = 0.0
-    dmask = jnp.asarray(masks)
-    subs = jax.random.split(rng, n_batches)
+    seq_off = np.cumsum([0] + [p.shape[0] for p in parts_2d])
+    total_windows = int(seq_off[-1])
+    if noise_table is not None:
+        init_tab = np.asarray(noise_table[0], np.float32)
+        step_tab = np.asarray(noise_table[1], np.float32)
+        assert init_tab.shape[0] == total_windows, (init_tab.shape,
+                                                    total_windows)
+        assert step_tab.shape[0] == total_windows, (step_tab.shape,
+                                                    total_windows)
 
-    for b_i in range(n_batches):
-        cur = min(bs, n_windows - b_i * bs)
-        metrics_dev = step(params, subs[b_i], d2d[b_i], d2d_flip[b_i],
-                           dgt[b_i], dtraj[b_i], dcam[b_i], dmask[b_i])
-        if pending is not None:
-            _drain(pending)
-        # batch_multiplier weight = B*F (main_h3wb.py:949-954)
-        pending = (metrics_dev, cur * receptive_field, cur)
+    # pooled mode: one group spanning all sequences (fewest padded rows);
+    # sequence_batches: one group per sequence (reference batch granularity)
+    groups = ([[i] for i in range(len(parts_2d))] if sequence_batches
+              else [list(range(len(parts_2d)))])
+    total_batches = sum(
+        -(-int(seq_off[g[-1] + 1] - seq_off[g[0]]) // bs) for g in groups)
+    subs = jax.random.split(rng, max(total_batches, 1))
+
+    b_count = 0
+    for g in groups:
+        lo, hi = int(seq_off[g[0]]), int(seq_off[g[-1] + 1])
+        n_windows = hi - lo
+        n_batches = -(-n_windows // bs)
+        # one transfer per modality per group; per-batch slices below are
+        # device-side indexing, not transfers
+        sel = lambda lst: [lst[i] for i in g]  # noqa: E731
+        d2d = jnp.asarray(pooled(sel(parts_2d)))
+        d2d_flip = jnp.asarray(pooled(sel(parts_2d_flip)))
+        dgt = jnp.asarray(pooled(sel(parts_gt)))
+        dtraj = jnp.asarray(pooled(sel(parts_traj)))
+        dcam = jnp.asarray(pooled(sel(parts_cam)))
+        masks = np.ones((n_batches, bs), np.float32)
+        masks[-1, n_windows - (n_batches - 1) * bs:] = 0.0
+        dmask = jnp.asarray(masks)
+
+        dinit = dstep = None
+        if noise_table is not None:
+            dinit = jnp.asarray(pooled([init_tab[lo:hi]]))
+            # (n_win, S, ...) -> (nb, bs, S, ...) -> (nb, S, bs, ...): scan
+            # wants the step axis leading within each batch
+            dstep = jnp.asarray(np.moveaxis(pooled([step_tab[lo:hi]]), 2, 1))
+
+        for b_i in range(n_batches):
+            cur = min(bs, n_windows - b_i * bs)
+            if noise_table is not None:
+                metrics_dev = step(params, subs[b_count], d2d[b_i],
+                                   d2d_flip[b_i], dgt[b_i], dtraj[b_i],
+                                   dcam[b_i], dmask[b_i],
+                                   dinit[b_i], dstep[b_i])
+            else:
+                metrics_dev = step(params, subs[b_count], d2d[b_i],
+                                   d2d_flip[b_i], dgt[b_i], dtraj[b_i],
+                                   dcam[b_i], dmask[b_i])
+            b_count += 1
+            if pending is not None:
+                _drain(pending)
+            # batch_multiplier weight = B*F (main_h3wb.py:949-954)
+            pending = (metrics_dev, cur * receptive_field, cur)
+            if quickdebug:
+                break
         if quickdebug:
             break
+    del parts_2d, parts_2d_flip, parts_gt, parts_traj, parts_cam
     if pending is not None:
         _drain(pending)
 

@@ -37,7 +37,7 @@ def test_single_compilation_across_sequence_lengths():
                                    receptive_field=9, num_proposals=1,
                                    sampling_timesteps=1, window_batch=pin)
     assert acc.n > 0
-    step = model._eval_step_cache[(1, 1, True, False, None)]
+    step = model._eval_step_cache[(1, 1, True, False, None, False)]
     assert step._cache_size() == 1
 
     # a second call (another "action") with the same pin reuses the same
@@ -47,7 +47,7 @@ def test_single_compilation_across_sequence_lengths():
                                     num_proposals=1, sampling_timesteps=1,
                                     window_batch=pin)
     assert acc2.n > 0
-    assert model._eval_step_cache[(1, 1, True, False, None)] is step
+    assert model._eval_step_cache[(1, 1, True, False, None, False)] is step
     assert step._cache_size() == 1
 
     # without the pin, a single call still compiles exactly once (per-call

@@ -16,7 +16,8 @@ from pafuse_tpu import checkpoints, skeleton as sk
 from pafuse_tpu.data import h3wb
 
 
-def _make_reference_npz(tmp_path, frames=12):
+def _make_reference_npz(tmp_path, frames=12,
+                        test_actions=("Posing 1",)):
     """Write npz files shaped like the official H3WB release
     (h3wb_dataset.py:17-24, 123-132): 133 joints, per-camera dicts."""
     rng = np.random.RandomState(0)
@@ -52,7 +53,7 @@ def _make_reference_npz(tmp_path, frames=12):
     np.savez(tmp_path / "train_h3wb.npz",
              train_data=np.array(train_data, dtype=object),
              metadata=np.array(metadata, dtype=object))
-    test_data = {"S8": {"Posing 1": action()}}
+    test_data = {"S8": {name: action() for name in test_actions}}
     np.savez(tmp_path / "task1_test_3d.npz",
              data=np.array(test_data, dtype=object))
 

@@ -78,6 +78,11 @@ def parse_args(argv=None):
                    help="windows of real data for the torch-vs-ours "
                         "implementation check (0 = skip)")
     p.add_argument("--budget-mm", type=float, default=0.5)
+    p.add_argument("--inject-noise", action="store_true",
+                   help="evaluate with deterministic per-window DDIM noise "
+                        "(action_noise_tables) so a reference run patched to "
+                        "consume the same tables is bit-aligned — turns the "
+                        "metric diff into a pure pipeline-equality check")
     p.add_argument("--out", default="PARITY_REAL.md")
     # model shape overrides (defaults = flagship); lets tests exercise the
     # harness end-to-end with a tiny fabricated checkpoint
@@ -86,6 +91,30 @@ def parse_args(argv=None):
     p.add_argument("--timestep", type=int, default=1000)
     p.add_argument("--subjects", default="S8")
     return p.parse_args(argv)
+
+
+def window_count(n_frames: int, receptive_field: int) -> int:
+    """Windows produced by eval_data_prepare for one sequence."""
+    return max(1, -(-int(n_frames) // receptive_field))
+
+
+def action_noise_tables(action_index: int, n_windows: int, P: int, S: int,
+                        F: int, N: int):
+    """Deterministic per-action DDIM noise tables, shared between our
+    evaluation (``evaluate_sequences(noise_table=...)``) and the reference
+    driver (``tools/rehearse_parity.py`` monkeypatches ``torch.randn`` to
+    consume the same arrays), so the metric diff compares the PIPELINES with
+    bit-identical stochasticity.
+
+    Returns ``init`` of shape (n_windows, P, F, N, 3) and ``step`` of shape
+    (n_windows, S, P, F, N, 3); windows indexed in pooled (sequence-major)
+    order, which is also the reference's per-sequence consumption order.
+    """
+    import numpy as np
+    rng = np.random.RandomState(977_001 + action_index)
+    init = rng.randn(n_windows, P, F, N, 3).astype(np.float32)
+    step = rng.randn(n_windows, S, P, F, N, 3).astype(np.float32)
+    return init, step
 
 
 def parse_reference_log(path):
@@ -339,19 +368,33 @@ def main(argv=None):
 
     all_actions, _ = collect_actions(dataset, subjects)
     for (P, T) in op_points:
-        print(f"Evaluating S8 at P={P}, T={T} ...")
+        print(f"Evaluating S8 at P={P}, T={T}"
+              + (" (injected noise)" if a.inject_noise else "") + " ...")
         pin = ev.pinned_window_batch(
             [kp for s in subjects for act in keypoints[s]
              for kp in keypoints[s][act]], a.frames)
         per_action = {}
-        for action_key in sorted(all_actions):
-            cams, p3d, p2d = h3wb.fetch_actions(
-                all_actions[action_key], keypoints, dataset)
-            acc, _ = ev.evaluate_sequences(
-                model, params, zip(cams, p3d, p2d), None,
-                receptive_field=a.frames, num_proposals=P,
-                sampling_timesteps=T, window_batch=pin)
-            per_action[action_key] = acc.means_mm()
+        # 'highest' matmul precision: strict-parity evaluation (TPU f32
+        # dots otherwise decompose to bf16 passes; see PARITY.md)
+        with jax.default_matmul_precision("highest"):
+            for ai, action_key in enumerate(sorted(all_actions)):
+                cams, p3d, p2d = h3wb.fetch_actions(
+                    all_actions[action_key], keypoints, dataset)
+                noise = None
+                if a.inject_noise:
+                    n_win = sum(window_count(np.squeeze(k).shape[0], a.frames)
+                                for k in p2d)
+                    noise = action_noise_tables(
+                        ai, n_win, P, T, a.frames, model.cfg.num_kps)
+                # sequence_batches: P_Best picks its argmin hypothesis by
+                # BATCH-mean error, so batch composition must match the
+                # reference's per-sequence sub-batching for strict parity
+                acc, _ = ev.evaluate_sequences(
+                    model, params, zip(cams, p3d, p2d), None,
+                    receptive_field=a.frames, num_proposals=P,
+                    sampling_timesteps=T, window_batch=pin,
+                    noise_table=noise, sequence_batches=True)
+                per_action[action_key] = acc.means_mm()
         keys = next(iter(per_action.values())).keys()
         avg = {k: float(np.atleast_1d(np.mean(
             [m[k] for m in per_action.values()], axis=0))[-1])
@@ -362,6 +405,11 @@ def main(argv=None):
 
         lines += [f"## Op-point P={P}, T={T} (S8, action-wise average, "
                   "final DDIM step)", ""]
+        if a.inject_noise:
+            lines += ["_Injected-noise mode: both pipelines consumed "
+                      "identical per-window DDIM noise tables, so any "
+                      "delta is implementation/numeric, not sampling "
+                      "variance._", ""]
         ref_vals = (parse_reference_log(ref_logs[(P, T)])
                     if (P, T) in ref_logs else None)
         # headline metrics first, then every part-based key both sides have

@@ -82,10 +82,19 @@ def fabricate_bin(bin_path: str, from_npz: str | None):
 
 
 def reference_eval(data_dir: str, ckpt_dir: str, bin_name: str,
-                   P: int, T: int):
+                   P: int, T: int, inject_noise: bool = True):
     """Drive the reference's evaluate() per S8 action; emit its txt log +
     the averaged block (main_h3wb.py:1117-1359 flow, reference code called
-    read-only)."""
+    read-only).
+
+    With ``inject_noise`` (default), ``torch.randn``/``randn_like`` are
+    patched during each action's evaluate to consume the SAME deterministic
+    per-window noise tables that ``check_parity.py --inject-noise`` feeds
+    our sampler (check_parity.action_noise_tables) — the reference draws
+    exactly S tensors per sub-batch (1 initial + S-1 DDIM-step draws,
+    diffusionpose.py:284,308; the final time_next<0 step draws none), so
+    consumption is grouped in S calls and the window cursor advances by the
+    sub-batch size after each group."""
     from torch_oracle import _install_timm_stub, patch_cuda_to_cpu
     _install_timm_stub()
     patch_cuda_to_cpu()
@@ -148,8 +157,11 @@ def reference_eval(data_dir: str, ckpt_dir: str, bin_name: str,
             all_actions.setdefault(action.split(" ")[0], []).append(
                 (subject, action))
 
+    import numpy as _np
+    import check_parity as _cp
+
     per_action = []
-    for action_key in sorted(all_actions):
+    for ai, action_key in enumerate(sorted(all_actions)):
         cams, poses, poses_2d = ref_main.fetch_actions(
             all_actions[action_key], keypoints, dataset, stride=1)
         gen = UnchunkedGenerator_Seq(cams, poses, poses_2d,
@@ -157,10 +169,41 @@ def reference_eval(data_dir: str, ckpt_dir: str, bin_name: str,
                                      kps_left=kps_left, kps_right=kps_right,
                                      joints_left=kps_left,
                                      joints_right=kps_right)
+        if inject_noise:
+            n_win = sum(_cp.window_count(_np.squeeze(k).shape[0], 27)
+                        for k in poses_2d)
+            init_tab, step_tab = _cp.action_noise_tables(
+                ai, n_win, P, T, 27, 134)
+            state = {"cursor": 0, "in_group": 0, "B": 0}
+
+            def fake_randn(*shape, **kw):
+                if len(shape) == 1 and isinstance(shape[0],
+                                                  (tuple, torch.Size)):
+                    shape = tuple(shape[0])
+                c = state["cursor"]
+                if state["in_group"] == 0:      # initial x_T for a sub-batch
+                    state["B"] = shape[0]
+                    out = init_tab[c:c + shape[0]]
+                else:                           # DDIM-step draw
+                    out = step_tab[c:c + shape[0], state["in_group"] - 1]
+                state["in_group"] += 1
+                if state["in_group"] >= T:      # group of S draws complete
+                    state["cursor"] += state["B"]
+                    state["in_group"] = 0
+                return torch.from_numpy(
+                    _np.ascontiguousarray(out.reshape(shape)))
+
         t0 = time.time()
-        res = ref_main.evaluate(dataset, gen, model_pos, args, kps_left,
-                                kps_right, receptive_field=27,
-                                action=action_key)
+        orig_randn, orig_like = torch.randn, torch.randn_like
+        if inject_noise:
+            torch.randn = fake_randn
+            torch.randn_like = lambda t: fake_randn(tuple(t.shape))
+        try:
+            res = ref_main.evaluate(dataset, gen, model_pos, args, kps_left,
+                                    kps_right, receptive_field=27,
+                                    action=action_key)
+        finally:
+            torch.randn, torch.randn_like = orig_randn, orig_like
         print(f"reference eval {action_key}: {time.time() - t0:.1f}s")
         per_action.append([r.cpu() for r in res])
 
@@ -209,6 +252,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1)
     p.add_argument("--impl-windows", type=int, default=2)
     p.add_argument("--budget-mm", type=float, default=0.5)
+    p.add_argument("--free-noise", action="store_true",
+                   help="do NOT inject shared noise tables: each side draws "
+                        "its own DDIM noise (what a real reference-log "
+                        "comparison looks like; deltas then include "
+                        "sampling variance)")
     a = p.parse_args(argv)
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -223,7 +271,9 @@ def main(argv=None):
     # otherwise, .claude/skills/verify) — do all torch-side stages first
     from pathlib import Path
     from test_real_format import _make_reference_npz
-    _make_reference_npz(Path(data_dir), frames=a.frames_per_action)
+    # several S8 actions so the action-wise AVERAGING is exercised too
+    _make_reference_npz(Path(data_dir), frames=a.frames_per_action,
+                        test_actions=("Posing 1", "Waiting 1", "Greeting 1"))
     print(f"fabricated npz in {data_dir}")
 
     t0 = time.time()
@@ -231,7 +281,8 @@ def main(argv=None):
     fabricate_bin(bin_path, a.from_npz or None)
 
     log_path = reference_eval(data_dir, a.workdir, "pafuse_model.bin",
-                              a.proposals, a.steps)
+                              a.proposals, a.steps,
+                              inject_noise=not a.free_noise)
     t_ref = time.time() - t0
     print(f"reference-side eval + conversion: {t_ref:.1f}s -> {log_path}")
 
@@ -243,7 +294,8 @@ def main(argv=None):
         "--impl-windows", str(a.impl_windows),
         "--budget-mm", str(a.budget_mm),
         "--reference-log", log_path,
-        "--out", os.path.join(a.workdir, "PARITY_REAL.md")])
+        "--out", os.path.join(a.workdir, "PARITY_REAL.md")]
+        + ([] if a.free_noise else ["--inject-noise"]))
     print(f"check_parity: rc={rc} in {time.time() - t0:.1f}s")
     return rc
 
