@@ -1,0 +1,284 @@
+"""Persistent pose-lifting service: load once, warm-compile, serve forever.
+
+The reference covers online use only as a batch script (re-loading the model
+and re-tracing per video, ``/root/reference/in_the_wild/h3wb_diffusion.py``).
+For production serving the expensive steps — checkpoint load, device
+placement, XLA compilation — must happen once, at startup, and never on the
+request path.  TPU-native design:
+
+* **Static shape buckets.** XLA compiles one executable per input shape, so
+  the service pads every request's window batch up to a fixed bucket size
+  (default 1/4/16 windows) and warm-compiles each bucket at startup; steady
+  state never recompiles.  Requests longer than the largest bucket are
+  processed in largest-bucket chunks, so arbitrary-length sequences ride the
+  same executables.
+* **Resident parameters.** Params are transferred to the device once and
+  shared by every request.
+* **Serialized device access.** One chip, one compute stream: requests are
+  serialized through a lock (the HTTP layer may accept them concurrently).
+
+The request path mirrors the in-the-wild pipeline (normalize -> window ->
+flip-TTA DDIM -> whole-body assembly -> stitch -> optional camera-to-world),
+reference semantics per ``in_the_wild/utils.py:322-376`` and
+``in_the_wild/h3wb_diffusion.py:119-143``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Hard-coded S1-cam0 camera->world rotation used by the reference's
+# in-the-wild postprocessing (h3wb_diffusion.py:138-143).
+_WORLD_ROT = np.array([0.14070565, -0.15007018, -0.7552408, 0.62232804],
+                      dtype=np.float32)
+
+
+def bucket_for(n_windows: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n_windows, else the largest bucket (the request is
+    then chunked)."""
+    for b in sorted(buckets):
+        if n_windows <= b:
+            return b
+    return max(buckets)
+
+
+class LiftingService:
+    """Warm, reusable 2D->3D lifting engine around a D3DP model.
+
+    Parameters
+    ----------
+    model: diffusion.D3DP (eval mode; P/T fixed at construction — they are
+        compile-time constants of the sampler).
+    params: model parameter pytree (moved to device on first use).
+    buckets: window-batch sizes to compile; requests pad up to the nearest.
+    """
+
+    def __init__(self, model, params, buckets: Sequence[int] = (1, 4, 16),
+                 warmup: bool = False):
+        import jax
+
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets or min(self.buckets) < 1:
+            raise ValueError(f"invalid buckets {buckets!r}")
+        self.model = model
+        self.params = params
+        self.receptive_field = model.cfg.frames
+        self._lock = threading.Lock()
+        self.stats: Dict[str, float] = {
+            "requests": 0, "frames": 0, "errors": 0,
+            "busy_seconds": 0.0, "started": time.time(),
+        }
+
+        from pafuse_tpu import geometry
+
+        def _sample(params, init_noise, step_noise, x2d, x2d_flip):
+            preds = model.eval_forward(params, jax.random.PRNGKey(0), x2d,
+                                       x2d_flip, init_noise=init_noise,
+                                       step_noise=step_noise)
+            return geometry.wb_pose_from_parts(preds)
+
+        self._sample = jax.jit(_sample)
+        if warmup:
+            self.warmup()
+
+    # -- startup -----------------------------------------------------------
+    def warmup(self) -> float:
+        """Compile + run every bucket once; returns elapsed seconds."""
+        t0 = time.time()
+        rf, J = self.receptive_field, self.model.cfg.num_kps
+        for b in self.buckets:
+            x = np.zeros((b, rf, J, 2), np.float32)
+            self._run_windows(x, x, seed=0)
+        return time.time() - t0
+
+    # -- request path ------------------------------------------------------
+    def _run_windows(self, w2d: np.ndarray, w2d_flip: np.ndarray,
+                     seed: int) -> np.ndarray:
+        """Run all windows through the sampler in bucket-padded chunks.
+
+        w2d: (W, rf, J, 2) -> (W, S, H, rf, J, 3); one-deep pipeline so the
+        host readback of chunk i overlaps device compute of chunk i+1.
+
+        DDIM noise is drawn on the host, keyed per (seed, window), so a
+        request's result is independent of bucket configuration and chunk
+        boundaries — the same request with the same seed is bit-reproducible
+        on any serving deployment.
+        """
+        import jax.numpy as jnp
+
+        cfg = self.model.cfg
+        W, rf, J = w2d.shape[0], self.receptive_field, cfg.num_kps
+        H, S = cfg.num_proposals, cfg.sampling_timesteps
+        nrng = np.random.RandomState([np.uint32(seed), 0x5E21])
+        init = nrng.randn(W, H, rf, J, 3).astype(np.float32)
+        stepn = nrng.randn(W, S, H, rf, J, 3).astype(np.float32)
+
+        chunk = bucket_for(W, self.buckets)
+        outs = []
+        pending: Optional[Tuple] = None
+        for start in range(0, W, chunk):
+            stop = min(start + chunk, W)
+            cur = stop - start
+            pad = chunk - cur
+
+            def padded(a):
+                if pad == 0:
+                    return a[start:stop]
+                reps = np.repeat(a[stop - 1:stop], pad, axis=0)
+                return np.concatenate([a[start:stop], reps], axis=0)
+
+            out = self._sample(
+                self.params, jnp.asarray(padded(init)),
+                # step noise is consumed as (S, B, H, rf, J, 3) by the scan
+                jnp.asarray(padded(stepn).transpose(1, 0, 2, 3, 4, 5)),
+                jnp.asarray(padded(w2d)), jnp.asarray(padded(w2d_flip)))
+            if pending is not None:
+                outs.append(np.asarray(pending[0])[:pending[1]])
+            pending = (out, cur)
+        outs.append(np.asarray(pending[0])[:pending[1]])
+        return np.concatenate(outs, axis=0)
+
+    def lift(self, keypoints: np.ndarray, width: Optional[int] = None,
+             height: Optional[int] = None, seed: int = 0,
+             world: bool = False, all_hypotheses: bool = False
+             ) -> Dict[str, object]:
+        """Lift a 2D keypoint sequence to 3D.
+
+        Parameters
+        ----------
+        keypoints: (F, num_kps, 2).  Pixel coordinates when width/height are
+            given (normalized per the reference's screen convention);
+            otherwise assumed already normalized to [-1, 1].
+        seed: DDIM noise seed — identical (request, seed) pairs are
+            bit-reproducible.
+        world: apply the reference's in-the-wild camera->world rotation and
+            floor rebase.
+        all_hypotheses: return all H hypotheses instead of their mean.
+
+        Returns a dict with ``poses`` (T, J, 3) — or (H, T, J, 3) with
+        ``all_hypotheses`` — at the final DDIM step, plus timing metadata.
+        """
+        from pafuse_tpu import geometry
+        from pafuse_tpu.utils.backend import host_compute
+
+        keypoints = np.asarray(keypoints, np.float32)
+        if keypoints.ndim != 3 or keypoints.shape[-1] != 2:
+            raise ValueError(
+                f"keypoints must be (frames, joints, 2); got {keypoints.shape}")
+        if keypoints.shape[1] != self.model.cfg.num_kps:
+            raise ValueError(
+                f"expected {self.model.cfg.num_kps} joints, "
+                f"got {keypoints.shape[1]}")
+
+        t0 = time.time()
+        with self._lock:
+            try:
+                with host_compute():
+                    if width is not None and height is not None:
+                        keypoints = np.asarray(geometry.normalize_screen_coordinates(
+                            keypoints, w=width, h=height), np.float32)
+                    flip = geometry.flip_pose_np(keypoints,
+                                                 self.model.flip_permutation)
+
+                from pafuse_tpu.data import windows as win
+                rf = self.receptive_field
+                w2d, _ = win.eval_data_prepare(rf, keypoints)
+                w2d_flip, _ = win.eval_data_prepare(rf, flip)
+
+                preds = self._run_windows(w2d, w2d_flip, seed=int(seed))
+                # (W, S, H, rf, J, 3) -> (S, H, W, rf, J, 3) -> stitch
+                preds = preds.transpose(1, 2, 0, 3, 4, 5)
+                timeline = win.stitch_windows(preds, keypoints.shape[0], rf)
+                final = timeline[-1]                      # (H, T, J, 3)
+                if world:
+                    with host_compute():
+                        final = np.array(geometry.camera_to_world(
+                            final, _WORLD_ROT, 0.0))
+                    final[..., 2] -= final[..., 2].min()
+                if not all_hypotheses:
+                    final = final.mean(axis=0)            # (T, J, 3)
+            except Exception:
+                self.stats["errors"] += 1
+                raise
+            dt = time.time() - t0
+            self.stats["requests"] += 1
+            self.stats["frames"] += int(keypoints.shape[0])
+            self.stats["busy_seconds"] += dt
+        return {
+            "poses": final,
+            "num_frames": int(keypoints.shape[0]),
+            "num_hypotheses": int(self.model.cfg.num_proposals),
+            "latency_ms": round(dt * 1000.0, 2),
+        }
+
+    def health(self) -> Dict[str, object]:
+        s = dict(self.stats)
+        s["uptime_seconds"] = round(time.time() - s.pop("started"), 1)
+        s["status"] = "ok"
+        s["receptive_field"] = self.receptive_field
+        s["buckets"] = list(self.buckets)
+        s["num_proposals"] = int(self.model.cfg.num_proposals)
+        s["sampling_timesteps"] = int(self.model.cfg.sampling_timesteps)
+        return s
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface (stdlib-only): POST /lift, GET /healthz
+# ---------------------------------------------------------------------------
+
+def make_http_server(service: LiftingService, host: str = "127.0.0.1",
+                     port: int = 8012):
+    """Threading HTTP server over the service.  ``port=0`` binds an ephemeral
+    port (tests); the bound port is ``server.server_address[1]``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/health"):
+                self._reply(200, service.health())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/lift":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                kps = np.asarray(req["keypoints"], np.float32)
+                out = service.lift(
+                    kps,
+                    width=req.get("width"), height=req.get("height"),
+                    seed=int(req.get("seed", 0)),
+                    world=bool(req.get("world", False)),
+                    all_hypotheses=bool(req.get("all_hypotheses", False)))
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            except Exception as e:  # keep the server alive on model errors
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            poses = out.pop("poses")
+            out["shape"] = list(poses.shape)
+            out["poses"] = poses.tolist()
+            self._reply(200, out)
+
+        def log_message(self, fmt, *args):  # route through print, not stderr
+            print(f"[serve] {self.address_string()} {fmt % args}")
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,153 @@
+"""Serving subsystem: bucket selection, service-level lifting, HTTP surface.
+
+The service wraps the same lifting pipeline as the in-the-wild CLI
+(reference: in_the_wild/utils.py:322-376) behind a persistent warm process;
+these tests run it end to end on the CPU backend with a tiny model.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pafuse_tpu import serve
+from pafuse_tpu.diffusion import D3DP, D3DPConfig
+
+TINY = D3DPConfig(frames=9, num_kps=134, timesteps=20, sampling_timesteps=2,
+                  num_proposals=2, depth=1)
+
+
+@pytest.fixture(scope="module")
+def service():
+    import jax
+    model = D3DP(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    svc = serve.LiftingService(model, params, buckets=(1, 2, 4))
+    svc.warmup()
+    return svc
+
+
+def test_bucket_for():
+    assert serve.bucket_for(1, (1, 4, 16)) == 1
+    assert serve.bucket_for(3, (1, 4, 16)) == 4
+    assert serve.bucket_for(4, (1, 4, 16)) == 4
+    assert serve.bucket_for(17, (1, 4, 16)) == 16  # chunked at max bucket
+    assert serve.bucket_for(2, (4,)) == 4
+    with pytest.raises(ValueError):
+        serve.LiftingService(None, None, buckets=())
+
+
+def test_lift_shapes_and_determinism(service):
+    rng = np.random.RandomState(0)
+    kps = rng.randn(20, 134, 2).astype(np.float32)  # 20 frames -> 3 windows
+    out = service.lift(kps, seed=7)
+    assert out["poses"].shape == (20, 134, 3)
+    assert np.all(np.isfinite(out["poses"]))
+    assert out["num_frames"] == 20
+    assert out["num_hypotheses"] == 2
+
+    again = service.lift(kps, seed=7)
+    np.testing.assert_array_equal(out["poses"], again["poses"])
+    other = service.lift(kps, seed=8)
+    assert np.abs(out["poses"] - other["poses"]).max() > 0
+
+    full = service.lift(kps, seed=7, all_hypotheses=True)
+    assert full["poses"].shape == (2, 20, 134, 3)
+    np.testing.assert_allclose(full["poses"].mean(axis=0), out["poses"],
+                               rtol=0, atol=1e-6)
+
+
+def test_lift_pixel_input_and_world(service):
+    rng = np.random.RandomState(1)
+    kps_px = (rng.rand(5, 134, 2) * [640, 480]).astype(np.float32)
+    out = service.lift(kps_px, width=640, height=480, world=True,
+                       all_hypotheses=True)
+    assert out["poses"].shape == (2, 5, 134, 3)
+    # floor rebase over the full hypothesis tensor: min z is exactly 0
+    # (h3wb_diffusion.py:143 semantics — rebase before the hypothesis mean)
+    assert abs(float(out["poses"][..., 2].min())) < 1e-6
+
+
+def test_lift_chunking_matches_single_bucket(service):
+    """A request longer than the max bucket (chunked) must equal the same
+    windows run unchunked — padding/chunking cannot change results."""
+    import jax
+    rng = np.random.RandomState(2)
+    kps = rng.randn(9 * 6, 134, 2).astype(np.float32)  # 6 windows, max bucket 4
+    out = service.lift(kps, seed=3)
+    # same request through a service whose single bucket fits all 6 windows
+    svc_big = serve.LiftingService(service.model, service.params, buckets=(6,))
+    out_big = svc_big.lift(kps, seed=3)
+    np.testing.assert_allclose(out["poses"], out_big["poses"], atol=2e-5)
+
+
+def test_lift_input_validation(service):
+    with pytest.raises(ValueError):
+        service.lift(np.zeros((5, 134, 3), np.float32))  # not 2D keypoints
+    with pytest.raises(ValueError):
+        service.lift(np.zeros((5, 17, 2), np.float32))   # wrong joint count
+    health = service.health()
+    assert health["status"] == "ok"
+    assert health["errors"] == 0  # validation rejects happen outside lift
+
+
+def test_http_server(service):
+    server = serve.make_http_server(service, port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["buckets"] == [1, 2, 4]
+
+        kps = np.zeros((3, 134, 2), np.float32).tolist()
+        body = json.dumps({"keypoints": kps, "width": 640, "height": 480,
+                           "seed": 1}).encode()
+        req = urllib.request.Request(f"{base}/lift", data=body,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["shape"] == [3, 134, 3]
+        poses = np.asarray(out["poses"], np.float32)
+        assert poses.shape == (3, 134, 3)
+        assert np.all(np.isfinite(poses))
+
+        # malformed request -> 400, server stays up
+        bad = urllib.request.Request(f"{base}/lift", data=b'{"keypoints": 1}',
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+        assert ei.value.code == 404
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["requests"] >= 1
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_build_service_from_config(tmp_path, monkeypatch):
+    """CLI-level construction: config -> model -> warm service (no ckpt)."""
+    from pafuse_tpu import config as cfg_mod
+    from pafuse_tpu.cli.serve import build_service
+    args = cfg_mod.load_config(overrides=[
+        "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20",
+        "ft2d.num_proposals=2", "ft2d.sampling_timesteps=2",
+        "serve.buckets=[1,2]",
+    ])
+    svc = build_service(args, warmup=False)
+    assert svc.buckets == (1, 2)
+    out = svc.lift(np.zeros((4, 134, 2), np.float32))
+    assert out["poses"].shape == (4, 134, 3)
