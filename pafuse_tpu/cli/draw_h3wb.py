@@ -23,6 +23,15 @@ from pafuse_tpu import config as cfg_mod
 
 def main(argv=None):
     args = cfg_mod.parse_cli(argv if argv is not None else sys.argv[1:])
+    if args.viz.compare:
+        # the reference's compare branch imports common.model_poseformer,
+        # which does not exist in its repo (main_draw_h3wb.py:397-398 —
+        # viz.compare=true crashes there too); hard-error instead of
+        # silently ignoring the knob
+        raise ValueError(
+            "viz.compare is not supported: the reference's PoseFormer "
+            "comparison path is broken/legacy (missing "
+            "common/model_poseformer)")
 
     import jax
     import jax.numpy as jnp

@@ -30,6 +30,12 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
     from pafuse_tpu.ops.attention import (select_attention_fn, select_block_fn, select_layer_fn)
 
+    # the reference raises for any other value (diffusionpose.py:150-155);
+    # silently running MixSTE2 anyway would mask the config error
+    if args.model.diff_model != "MixSTE2":
+        raise ValueError(
+            f"The model {args.model.diff_model!r} does not exist "
+            "(model.diff_model supports only 'MixSTE2')")
     compute_dtype = (jnp.bfloat16 if args.tpu.compute_dtype == "bfloat16"
                      else jnp.float32)
     cfg = D3DPConfig(

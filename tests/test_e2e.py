@@ -213,6 +213,26 @@ def test_warmup_override_hard_errors():
         main_h3wb.main(["experiment.warmup=5", "general.nolog=true"])
 
 
+def test_unknown_diff_model_hard_errors():
+    """The reference raises for model.diff_model != MixSTE2
+    (diffusionpose.py:150-155); running MixSTE2 anyway would mask it."""
+    import pytest
+    from pafuse_tpu import config as cfg_mod
+    from pafuse_tpu.cli.main_h3wb import build_model
+    args = cfg_mod.load_config(overrides=["model.diff_model=MixSTE3"])
+    with pytest.raises(ValueError, match="MixSTE3"):
+        build_model(args, is_train=False)
+
+
+def test_viz_compare_hard_errors():
+    """viz.compare drives a broken legacy path in the reference (missing
+    common/model_poseformer); must raise instead of silently ignoring."""
+    import pytest
+    from pafuse_tpu.cli import draw_h3wb
+    with pytest.raises(ValueError, match="compare"):
+        draw_h3wb.main(["viz.compare=true"])
+
+
 def test_actionwise_average_format_matches_reference():
     """The averaged block must reproduce the reference's printf vocabulary
     line for line (main_h3wb.py:1253-1340), incl. part-based breakdowns and
