@@ -95,33 +95,17 @@ def lift_video(args, keypoints_norm: np.ndarray, params, model,
         preds = model.eval_forward(params, key, x2d, x2d_flip)
         return geometry.wb_pose_from_parts(preds)
 
+    from pafuse_tpu.utils.backend import run_chunked_pipelined
+
     bs = max(1, args.model.batch_size // receptive_field)
-    outs = []
-    pending = None
-    for start in range(0, w2d.shape[0], bs):
-        sl = slice(start, min(start + bs, w2d.shape[0]))
-        cur = sl.stop - sl.start
-        pad = bs - cur
 
-        def padded(a):
-            if pad == 0:
-                return a[sl]
-            reps = np.repeat(a[sl.stop - 1:sl.stop], pad, axis=0)
-            return np.concatenate([a[sl], reps], axis=0)
-
+    def call(w2d_c, w2d_flip_c):
+        nonlocal rng
         rng, sub = jax.random.split(rng)
-        # one-deep pipeline (as in evaluate.evaluate_sequences): read back
-        # the previous batch while the device runs this one, so host
-        # padding/transfers overlap device compute (keeps one extra batch's
-        # output alive while the next runs)
-        out = sample(params, sub, jnp.asarray(padded(w2d)),
-                     jnp.asarray(padded(w2d_flip)))
-        if pending is not None:
-            outs.append(np.asarray(pending[0])[:pending[1]])
-        pending = (out, cur)
-    if pending is not None:
-        outs.append(np.asarray(pending[0])[:pending[1]])
-    preds = np.concatenate(outs, axis=0)              # (W, S, H, F, J, 3)
+        return sample(params, sub, jnp.asarray(w2d_c),
+                      jnp.asarray(w2d_flip_c))
+
+    preds = run_chunked_pipelined(call, (w2d, w2d_flip), bs)  # (W,S,H,F,J,3)
 
     total = keypoints_norm.shape[0]
     # (W, S, H, F, J, 3) -> (S, H, W, F, J, 3) -> stitch to (S, H, T, J, 3)

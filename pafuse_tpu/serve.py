@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import threading
 import time
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -110,6 +110,7 @@ class LiftingService:
         on any serving deployment.
         """
         import jax.numpy as jnp
+        from pafuse_tpu.utils.backend import run_chunked_pipelined
 
         cfg = self.model.cfg
         W, rf, J = w2d.shape[0], self.receptive_field, cfg.num_kps
@@ -118,30 +119,15 @@ class LiftingService:
         init = nrng.randn(W, H, rf, J, 3).astype(np.float32)
         stepn = nrng.randn(W, S, H, rf, J, 3).astype(np.float32)
 
-        chunk = bucket_for(W, self.buckets)
-        outs = []
-        pending: Optional[Tuple] = None
-        for start in range(0, W, chunk):
-            stop = min(start + chunk, W)
-            cur = stop - start
-            pad = chunk - cur
-
-            def padded(a):
-                if pad == 0:
-                    return a[start:stop]
-                reps = np.repeat(a[stop - 1:stop], pad, axis=0)
-                return np.concatenate([a[start:stop], reps], axis=0)
-
-            out = self._sample(
-                self.params, jnp.asarray(padded(init)),
+        def call(w2d_c, w2d_flip_c, init_c, stepn_c):
+            return self._sample(
+                self.params, jnp.asarray(init_c),
                 # step noise is consumed as (S, B, H, rf, J, 3) by the scan
-                jnp.asarray(padded(stepn).transpose(1, 0, 2, 3, 4, 5)),
-                jnp.asarray(padded(w2d)), jnp.asarray(padded(w2d_flip)))
-            if pending is not None:
-                outs.append(np.asarray(pending[0])[:pending[1]])
-            pending = (out, cur)
-        outs.append(np.asarray(pending[0])[:pending[1]])
-        return np.concatenate(outs, axis=0)
+                jnp.asarray(stepn_c.transpose(1, 0, 2, 3, 4, 5)),
+                jnp.asarray(w2d_c), jnp.asarray(w2d_flip_c))
+
+        return run_chunked_pipelined(call, (w2d, w2d_flip, init, stepn),
+                                     bucket_for(W, self.buckets))
 
     def lift(self, keypoints: np.ndarray, width: Optional[int] = None,
              height: Optional[int] = None, seed: int = 0,

@@ -91,3 +91,37 @@ def sync(x) -> float:
     for leaf in leaves:
         total += float(jnp.sum(jnp.abs(jnp.asarray(leaf).astype(jnp.float32))))
     return total
+
+
+def run_chunked_pipelined(fn, arrays, chunk: int):
+    """Apply ``fn`` over fixed-size leading-axis chunks of ``arrays`` with a
+    one-deep readback pipeline.
+
+    Every chunk is padded to exactly ``chunk`` rows by repeating its last row
+    (XLA compiles one executable per shape, so ragged tails must not leak to
+    the device), ``fn(*chunks)`` dispatches the device work, and the previous
+    chunk's result is read back while the device runs the current one — the
+    same overlap pattern as ``evaluate.evaluate_sequences``.  Returns the
+    unpadded concatenation of the results' leading axes.
+    """
+    import numpy as np
+    n = arrays[0].shape[0]
+    outs, pending = [], None
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        cur = stop - start
+        pad = chunk - cur
+
+        def padded(a):
+            if pad == 0:
+                return a[start:stop]
+            reps = np.repeat(a[stop - 1:stop], pad, axis=0)
+            return np.concatenate([a[start:stop], reps], axis=0)
+
+        out = fn(*[padded(a) for a in arrays])
+        if pending is not None:
+            outs.append(np.asarray(pending[0])[:pending[1]])
+        pending = (out, cur)
+    if pending is not None:
+        outs.append(np.asarray(pending[0])[:pending[1]])
+    return np.concatenate(outs, axis=0)

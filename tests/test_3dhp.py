@@ -5,7 +5,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from pafuse_tpu import config as cfg_mod, skeleton as sk
+from pafuse_tpu import skeleton as sk
 from pafuse_tpu.data import dhp3
 
 

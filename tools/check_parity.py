@@ -198,7 +198,7 @@ def implementation_check(model, params, dataset, keypoints, subjects,
     from common.diffusionpose import D3DP as RefD3DP
     import jax
     import jax.numpy as jnp
-    from pafuse_tpu import checkpoints, geometry, skeleton as sk
+    from pafuse_tpu import checkpoints, skeleton as sk
     from pafuse_tpu.data import windows as win
 
     cfg = model.cfg
