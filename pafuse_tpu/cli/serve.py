@@ -56,7 +56,21 @@ def build_service(args, warmup: bool = True):
     buckets = args.serve.buckets
     if isinstance(buckets, str):
         buckets = [int(b) for b in buckets.split(",") if b.strip()]
-    service = serve.LiftingService(model, params, buckets=buckets)
+    shard = str(getattr(args.serve, "shard", "auto")).lower()
+    if shard in ("false", "none", "0"):  # YAML parses bare `off` as False
+        shard = "off"
+    if shard not in ("auto", "off"):
+        raise ValueError(f"serve.shard must be auto|off, got {shard!r}")
+    mesh = None
+    if shard == "auto" and jax.device_count() > 1:
+        # serving spans all local chips by default: window batches shard
+        # over the data axis (tpu.mesh_shape), params replicated
+        from pafuse_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(tuple(args.tpu.mesh_shape),
+                         tuple(args.tpu.mesh_axis_names))
+        print(f"[serve] sharding window batches over "
+              f"{mesh.devices.size}-device mesh")
+    service = serve.LiftingService(model, params, buckets=buckets, mesh=mesh)
     if warmup:
         secs = service.warmup()
         print(f"[serve] warm: compiled buckets {service.buckets} "

@@ -56,12 +56,21 @@ class LiftingService:
         compile-time constants of the sampler).
     params: model parameter pytree (moved to device on first use).
     buckets: window-batch sizes to compile; requests pad up to the nearest.
+    mesh: optional ``jax.sharding.Mesh`` — window batches shard over its
+        ``data`` axis (params replicated), so one service spans a pod slice;
+        buckets round up to device-count multiples.
     """
 
     def __init__(self, model, params, buckets: Sequence[int] = (1, 4, 16),
-                 warmup: bool = False):
+                 warmup: bool = False, mesh=None):
         import jax
 
+        self.mesh = mesh
+        n_dev = (int(np.prod(mesh.devices.shape))
+                 if mesh is not None else 1)
+        if n_dev > 1:
+            # every compiled shape must divide evenly across the data axis
+            buckets = [-(-int(b) // n_dev) * n_dev for b in buckets]
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         if not self.buckets or min(self.buckets) < 1:
             raise ValueError(f"invalid buckets {buckets!r}")
@@ -82,7 +91,18 @@ class LiftingService:
                                        step_noise=step_noise)
             return geometry.wb_pose_from_parts(preds)
 
-        self._sample = jax.jit(_sample)
+        if n_dev > 1:
+            # same sharding layout as evaluate.build_eval_step: batch over
+            # the data axis, params replicated, step noise (S, B, ...) on
+            # its second axis; XLA SPMD handles the rest
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from pafuse_tpu.parallel.mesh import data_sharding, replicated
+            repl, data = replicated(mesh), data_sharding(mesh)
+            step_sh = NamedSharding(mesh, P(None, "data"))
+            self._sample = jax.jit(
+                _sample, in_shardings=(repl, data, step_sh, data, data))
+        else:
+            self._sample = jax.jit(_sample)
         if warmup:
             self.warmup()
 
@@ -210,6 +230,8 @@ class LiftingService:
         s["buckets"] = list(self.buckets)
         s["num_proposals"] = int(self.model.cfg.num_proposals)
         s["sampling_timesteps"] = int(self.model.cfg.sampling_timesteps)
+        s["mesh_devices"] = (int(np.prod(self.mesh.devices.shape))
+                             if self.mesh is not None else 1)
         return s
 
 

@@ -138,6 +138,25 @@ def test_http_server(service):
         server.server_close()
 
 
+def test_mesh_sharded_service_matches_single_device(service):
+    """A service sharding its window batches over the 8-device mesh must
+    return the same poses as the single-device service (same host-keyed
+    noise; only the execution layout differs)."""
+    import jax
+    from pafuse_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh((8,), ("data",), devices=jax.devices()[:8])
+    svc = serve.LiftingService(service.model, service.params,
+                               buckets=(2,), mesh=mesh)
+    assert svc.buckets == (8,)  # rounded up to a device-count multiple
+    assert svc.health()["mesh_devices"] == 8
+    rng = np.random.RandomState(4)
+    kps = rng.randn(9 * 3, 134, 2).astype(np.float32)  # 3 windows
+    out_mesh = svc.lift(kps, seed=11)
+    out_single = service.lift(kps, seed=11)
+    np.testing.assert_allclose(out_mesh["poses"], out_single["poses"],
+                               atol=2e-5)
+
+
 def test_build_service_from_config(tmp_path, monkeypatch):
     """CLI-level construction: config -> model -> warm service (no ckpt)."""
     from pafuse_tpu import config as cfg_mod
@@ -145,9 +164,21 @@ def test_build_service_from_config(tmp_path, monkeypatch):
     args = cfg_mod.load_config(overrides=[
         "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20",
         "ft2d.num_proposals=2", "ft2d.sampling_timesteps=2",
-        "serve.buckets=[1,2]",
+        "serve.buckets=[1,2]", "serve.shard=off",
     ])
     svc = build_service(args, warmup=False)
     assert svc.buckets == (1, 2)
+    assert svc.mesh is None
     out = svc.lift(np.zeros((4, 134, 2), np.float32))
     assert out["poses"].shape == (4, 134, 3)
+
+    # serve.shard=auto (default) spans the 8-device test mesh
+    args2 = cfg_mod.load_config(overrides=[
+        "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20",
+        "ft2d.num_proposals=2", "ft2d.sampling_timesteps=2",
+        "serve.buckets=[1,2]",
+    ])
+    svc2 = build_service(args2, warmup=False)
+    assert svc2.mesh is not None
+    assert svc2.health()["mesh_devices"] == 8
+    assert svc2.buckets == (8,)  # 1 and 2 both round up to 8
