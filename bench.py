@@ -48,10 +48,12 @@ def measure_ours() -> float:
     # kernel; =layer the whole-layer kernel (documented negative result).
     env = os.environ.get("PAFUSE_BENCH_PALLAS", "")
     use = {"0": "false", "attn": "true", "block": "block",
-           "layer": "layer"}.get(env, "auto")
+           "block_t": "block_t", "layer": "layer"}.get(env, "auto")
+    from pafuse_tpu.ops.attention import select_block_t_fn
     model = D3DP(cfg, compute_dtype=dtype,
                  attention_fn=select_attention_fn(use),
                  block_fn=select_block_fn(use),
+                 block_t_fn=select_block_t_fn(use),
                  layer_fn=select_layer_fn(use))
     params = model.init_params(jax.random.PRNGKey(0))
 

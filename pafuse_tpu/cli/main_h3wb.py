@@ -28,7 +28,7 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
     import jax.numpy as jnp
     from pafuse_tpu import skeleton as sk
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
-    from pafuse_tpu.ops.attention import (select_attention_fn, select_block_fn, select_layer_fn)
+    from pafuse_tpu.ops.attention import (select_attention_fn, select_block_fn, select_block_t_fn, select_layer_fn)
 
     # the reference raises for any other value (diffusionpose.py:150-155);
     # silently running MixSTE2 anyway would mask the config error
@@ -63,6 +63,8 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
                                          train=is_train),
                 layer_fn=select_layer_fn(args.tpu.use_pallas,
                                          train=is_train),
+                block_t_fn=select_block_t_fn(args.tpu.use_pallas,
+                                             train=is_train),
                 train_block_fn=select_train_block_fn(
                     getattr(args.tpu, "train_kernel", "auto"),
                     train=is_train),

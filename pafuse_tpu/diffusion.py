@@ -130,7 +130,8 @@ class D3DP:
                  flip_permutation: Optional[np.ndarray] = None,
                  compute_dtype=jnp.float32, attention_fn=None,
                  block_fn=None, train_block_fn=None, layer_fn=None,
-                 remat: bool = False, packed_parts: bool = False):
+                 block_t_fn=None, remat: bool = False,
+                 packed_parts: bool = False):
         self.cfg = cfg
         self.schedule = make_schedule(cfg.timesteps)
         self.compute_dtype = compute_dtype
@@ -138,6 +139,7 @@ class D3DP:
         self.block_fn = block_fn
         self.train_block_fn = train_block_fn
         self.layer_fn = layer_fn
+        self.block_t_fn = block_t_fn
         self.remat = remat
         if cfg.part_based:
             tables = parts_joint_indices or sk.parts_table(cfg.merge_hands)
@@ -181,6 +183,7 @@ class D3DP:
                           block_fn=self.block_fn,
                           train_block_fn=self.train_block_fn,
                           layer_fn=self.layer_fn,
+                          block_t_fn=self.block_t_fn,
                           remat=self.remat)
 
     def _clamp_scaled(self, x):

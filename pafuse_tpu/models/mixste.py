@@ -281,7 +281,7 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
                    train: bool = False, rng=None,
                    compute_dtype=jnp.float32, attention_fn=None,
                    block_fn=None, train_block_fn=None, layer_fn=None,
-                   remat: bool = False):
+                   block_t_fn=None, remat: bool = False):
     """Denoise one window.
 
     Args:
@@ -334,6 +334,10 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
     # pos embed -> temporal block in one VMEM pass, ops/attention.pallas_layer);
     # eval-only, may return None to decline (e.g. CPU backend).
     use_layer = layer_fn is not None and not train
+    # block_t_fn: optional axis-aware temporal block kernel
+    # (ops/attention.pallas_block_temporal) consuming the native (B, F, N, C)
+    # layout — kills both HBM swapaxes copies around every temporal block.
+    use_block_t = block_t_fn is not None and not train
 
     def ste(i, x_bfnc):
         # spatial attention: tokens = joints
@@ -361,6 +365,11 @@ def mixste_forward(params: Params, cfg: MixSTEConfig, x2d, x3d, t, *,
 
     def tte(i, x_bfnc):
         # temporal attention: tokens = frames; transpose instead of reshape.
+        if use_block_t:
+            y = block_t_fn(params["TTEblocks"][i], params["Temporal_norm"],
+                           x_bfnc, cfg.num_heads, compute_dtype)
+            if y is not None:
+                return y
         x_bnfc = jnp.swapaxes(x_bfnc, 1, 2)
         if use_block:
             y = block_fn(params["TTEblocks"][i], params["Temporal_norm"],

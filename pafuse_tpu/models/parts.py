@@ -124,7 +124,7 @@ class PartModel:
                  train: bool = False, rng=None,
                  compute_dtype=jnp.float32, attention_fn=None,
                  block_fn=None, train_block_fn=None, layer_fn=None,
-                 remat: bool = False):
+                 block_t_fn=None, remat: bool = False):
         """Denoise: (B,F,N,2) x (B,F,N,3) x (B,) -> (B,F,N,3)."""
         if isinstance(params, dict) and "__packed__" in params:
             from pafuse_tpu.models import packed as pk
@@ -144,7 +144,7 @@ class PartModel:
                 train=train, rng=r, compute_dtype=compute_dtype,
                 attention_fn=attention_fn, block_fn=block_fn,
                 train_block_fn=train_block_fn, layer_fn=layer_fn,
-                remat=remat)
+                block_t_fn=block_t_fn, remat=remat)
             outs.append(out)
         merged = jnp.concatenate(outs, axis=-2)
         if self._is_identity:

@@ -245,7 +245,12 @@ def _block_body(xin, n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1,
     # For long token axes (face, Lp = 72) plain per-head batched matmuls
     # measured fastest — grouping only grows the already-dominant logits.
     g = (192 // lp) if lp <= 32 else 1
-    if g < 2 or tb % g:
+    while g > 1 and tb % g:
+        # largest group size <= 192//lp that divides the tile rows (e.g.
+        # tb=21 at the axis-aware hand tile packs as g=3 instead of
+        # degrading to per-head nb=21 batched matmuls)
+        g -= 1
+    if g < 2:
         g = 1
 
     scale = head_dim ** -0.5
@@ -429,7 +434,119 @@ def select_block_fn(use_pallas="auto", *, train: bool = False):
     if train:
         return None
     return (pallas_block
-            if str(use_pallas).lower() in ("block", "auto") else None)
+            if str(use_pallas).lower() in ("block", "block_t", "auto")
+            else None)
+
+
+# ---------------------------------------------------------------------------
+# Axis-aware TEMPORAL block kernel: reads (1, F, TBn, C) tiles straight from
+# the un-transposed (B, F, N, C) activation stream, exposing the token
+# (frame) axis by an in-VMEM relayout — the explicit HBM `swapaxes` copies
+# around every temporal block (~1.75 ms each at the flagship body shape,
+# 730 GB/s, i.e. already bandwidth-bound and unfusable into the opaque
+# pallas_call) disappear entirely.  Unlike the whole-LAYER kernel (a
+# documented negative result: fusing two block bodies forces batch_tile=1
+# to keep Mosaic compile tractable), this fuses exactly one block body, the
+# same compile footprint as ``pallas_block``.
+# ---------------------------------------------------------------------------
+
+def _block_t_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                    bproj_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref,
+                    wfc2_ref, bfc2_ref, nos_ref, nob_ref, out_ref, *,
+                    num_heads: int, seq_len: int, head_dim: int,
+                    pad_to: int):
+    x = x_ref[:]                                  # (TBb, F, TBn, C)
+    tbb, f, tbn, c = x.shape
+    x = jnp.swapaxes(x, 1, 2)                     # (TBb, TBn, F, C) in VMEM
+    x = x.reshape(tbb * tbn, f, c)                # leading-dims reshape
+    if pad_to != f:
+        # token padding in VMEM, exactly as _block_kernel
+        x = jnp.pad(x, ((0, 0), (0, pad_to - f), (0, 0)))
+    y = _block_body(
+        x, n1s_ref[:], n1b_ref[:], wqkv_ref[:], bqkv_ref[:],
+        wproj_ref[:], bproj_ref[:], n2s_ref[:], n2b_ref[:], wfc1_ref[:],
+        bfc1_ref[:], wfc2_ref[:], bfc2_ref[:], nos_ref[:], nob_ref[:],
+        num_heads=num_heads, seq_len=seq_len, head_dim=head_dim)
+    y = y[:, :seq_len].reshape(tbb, tbn, seq_len, c)
+    out_ref[:] = jnp.swapaxes(y, 1, 2).astype(out_ref.dtype)
+
+
+def pallas_block_temporal(block_params, outer_norm, x, num_heads: int,
+                          compute_dtype, joint_tile: Optional[int] = None,
+                          batch_tile: Optional[int] = None):
+    """Fused temporal block + outer LayerNorm on the NATIVE activation layout.
+
+    x: (B, F, N, C); tokens = frames.  Numerically equivalent to
+    ``swapaxes(pallas_block(params, outer, swapaxes(x, 1, 2)), 1, 2)`` but
+    without materializing either HBM transpose.  Tiles are (TBb, F, TBn, C)
+    over a (B/TBb, ceil(N/TBn)) grid; joint tiles that overhang N are
+    computed on garbage rows and dropped on the masked write-back (rows are
+    fully independent through the block: LN/attention/MLP never mix (b, n)
+    rows, and the group-packed softmax masks cross-row logits before they
+    mix).  Returns None to decline (no pallas / CPU backend).
+    """
+    if not _HAS_PALLAS:
+        return None
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "cpu"
+    if backend == "cpu":
+        return None
+
+    B, F, N, C = x.shape
+    head_dim = C // num_heads
+    Lp = _round_up(F, 8)
+    TBn = min(joint_tile if joint_tile else max(1, 768 // Lp), N)
+    # batch_tile > 1 packs more rows per call (bigger matmuls, fewer grid
+    # steps) but measured SLOWER: the in-VMEM (F, N) relayout dominates and
+    # scales with the tile (36.1 ms/call at TBb=4 vs 33.8 at TBb=1 vs 32.3
+    # for the HBM-transpose path, flagship body shape — docs/ROADMAP.md)
+    TBb = batch_tile if batch_tile else 1
+    TBb = min(TBb, B)
+    Bp = _round_up(B, TBb)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
+
+    f32 = jnp.float32
+    args = [x.astype(compute_dtype)]
+    args += [a.astype(f32)
+             for a in _flatten_block_params(block_params, outer_norm)]
+    hidden = block_params["mlp"]["fc1"]["kernel"].shape[1]
+    vec = lambda n: pl.BlockSpec((n,), lambda b, j: (0,),
+                                 memory_space=pltpu.VMEM)
+    mat = lambda m, n: pl.BlockSpec((m, n), lambda b, j: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((TBb, F, TBn, C), lambda b, j: (b, 0, j, 0),
+                     memory_space=pltpu.VMEM),
+        vec(C), vec(C), mat(C, 3 * C), vec(3 * C), mat(C, C), vec(C),
+        vec(C), vec(C), mat(C, hidden), vec(hidden), mat(hidden, C), vec(C),
+        vec(C), vec(C),
+    ]
+    kernel = functools.partial(_block_t_kernel, num_heads=num_heads,
+                               seq_len=F, head_dim=head_dim, pad_to=Lp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // TBb, -(-N // TBn)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TBb, F, TBn, C), lambda b, j: (b, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, F, N, C), compute_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(*args)
+    return out[:B]
+
+
+def select_block_t_fn(use_pallas="auto", *, train: bool = False):
+    """Axis-aware temporal block kernel selection (eval only).  Opt-in via
+    ``tpu.use_pallas=block_t`` while under measurement; see docs/ROADMAP.md
+    for the A/B record."""
+    if train:
+        return None
+    return (pallas_block_temporal
+            if str(use_pallas).lower() == "block_t" else None)
 
 
 # ---------------------------------------------------------------------------

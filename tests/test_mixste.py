@@ -150,7 +150,8 @@ def test_kernel_fns_decline_on_cpu(params, rng):
     base = mixste.mixste_forward(params, CFG, x2d, x3d, t)
     for kwargs in ({"attention_fn": att.select_attention_fn("true")},
                    {"block_fn": att.select_block_fn("block")},
-                   {"layer_fn": att.select_layer_fn("layer")}):
+                   {"layer_fn": att.select_layer_fn("layer")},
+                   {"block_t_fn": att.select_block_t_fn("block_t")}):
         out = mixste.mixste_forward(params, CFG, x2d, x3d, t, **kwargs)
         np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                    rtol=0, atol=1e-6)
@@ -160,6 +161,12 @@ def test_kernel_fns_decline_on_cpu(params, rng):
     assert att.select_block_fn("auto") is att.pallas_block
     assert att.select_block_fn("auto", train=True) is None
     assert att.select_layer_fn("layer", train=True) is None
+    # block_t is opt-in while under measurement; block_t mode keeps the
+    # spatial block kernel alongside the temporal-axis-aware one
+    assert att.select_block_t_fn("auto") is None
+    assert att.select_block_t_fn("block_t") is att.pallas_block_temporal
+    assert att.select_block_t_fn("block_t", train=True) is None
+    assert att.select_block_fn("block_t") is att.pallas_block
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pafuse_tpu.models import mixste
-from pafuse_tpu.ops.attention import pallas_block, pallas_layer
+from pafuse_tpu.ops.attention import (pallas_block, pallas_block_temporal,
+                                      pallas_layer)
 
 
 def check_block(L, C, B=100, num_heads=8, seed=0):
@@ -38,6 +39,25 @@ def check_block(L, C, B=100, num_heads=8, seed=0):
     ref = mixste._layernorm(on, mixste._block(bp, x, num_heads, jnp.float32))
     d = float(jnp.max(jnp.abs(y - np.asarray(ref))))
     print(f"block  L={L:3d} C={C:3d}: max|diff| vs XLA = {d:.2e}", flush=True)
+    return d
+
+
+def check_block_t(N, C, B=40, F=27, num_heads=8, seed=0):
+    """Axis-aware temporal kernel on the native (B, F, N, C) layout vs the
+    transposed XLA reference.  Exercises the joint-tile overhang (N=68 does
+    not divide the 24-row tile) and the in-VMEM frame-axis relayout."""
+    cfg = mixste.MixSTEConfig(num_frames=F, num_joints=N, embed_dim=C,
+                              num_heads=num_heads)
+    p = mixste.init_mixste(jax.random.PRNGKey(seed), cfg)
+    bp, on = p["TTEblocks"][0], p["Temporal_norm"]
+    x = jnp.asarray(np.random.RandomState(seed).randn(B, F, N, C),
+                    jnp.float32)
+    y = pallas_block_temporal(bp, on, x, num_heads, jnp.float32)
+    xt = jnp.swapaxes(x, 1, 2).reshape(B * N, F, C)
+    ref = mixste._layernorm(on, mixste._block(bp, xt, num_heads, jnp.float32))
+    ref = jnp.swapaxes(np.asarray(ref).reshape(B, N, F, C), 1, 2)
+    d = float(jnp.max(jnp.abs(y - ref)))
+    print(f"blockT N={N:3d} C={C:3d}: max|diff| vs XLA = {d:.2e}", flush=True)
     return d
 
 
@@ -64,6 +84,10 @@ def main():
     worst = 0.0
     for (L, C) in [(24, 384), (68, 224), (21, 256), (27, 384)]:
         worst = max(worst, check_block(L, C))
+    # temporal-axis-aware kernel at all flagship part widths (tokens = 27
+    # frames; N is the rows axis read straight from the native layout)
+    for (N, C) in [(24, 384), (68, 224), (21, 256)]:
+        worst = max(worst, check_block_t(N, C))
     # the layer kernel feeds token axes at raw lengths (no Lp round-up like
     # the block path) — verify the unpadded handling on-chip at ALL flagship
     # part shapes, not just the body one
