@@ -257,6 +257,22 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
         def do_GET(self):
             if self.path in ("/healthz", "/health"):
                 self._reply(200, service.health())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the health counters
+                lines = []
+                for k, v in service.health().items():
+                    if isinstance(v, bool) or not isinstance(v, (int, float)):
+                        continue
+                    lines.append(f"# TYPE pafuse_{k} "
+                                 f"{'counter' if k in ('requests', 'frames', 'errors') else 'gauge'}")
+                    lines.append(f"pafuse_{k} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 

@@ -133,6 +133,14 @@ def test_http_server(service):
         with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
             health = json.loads(r.read())
         assert health["requests"] >= 1
+
+        # Prometheus text exposition mirrors the numeric health counters
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            metrics = r.read().decode()
+        assert "# TYPE pafuse_requests counter" in metrics
+        assert f"pafuse_requests {health['requests']}" in metrics
+        assert "pafuse_mesh_devices 1" in metrics
     finally:
         server.shutdown()
         server.server_close()
