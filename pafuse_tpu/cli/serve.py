@@ -56,11 +56,16 @@ def build_service(args, warmup: bool = True):
     buckets = args.serve.buckets
     if isinstance(buckets, str):
         buckets = [int(b) for b in buckets.split(",") if b.strip()]
-    shard = str(getattr(args.serve, "shard", "auto")).lower()
-    if shard in ("false", "none", "0"):  # YAML parses bare `off` as False
-        shard = "off"
-    if shard not in ("auto", "off"):
-        raise ValueError(f"serve.shard must be auto|off, got {shard!r}")
+    def _mode(key):
+        v = str(getattr(args.serve, key, "auto")).lower()
+        if v in ("false", "none", "0"):  # YAML parses bare `off` as False
+            v = "off"
+        if v not in ("auto", "off"):
+            raise ValueError(f"serve.{key} must be auto|off, got {v!r}")
+        return v
+
+    shard = _mode("shard")
+    batching = _mode("batching")
     mesh = None
     if shard == "auto" and jax.device_count() > 1:
         # serving spans all local chips by default: window batches shard
@@ -70,7 +75,8 @@ def build_service(args, warmup: bool = True):
                          tuple(args.tpu.mesh_axis_names))
         print(f"[serve] sharding window batches over "
               f"{mesh.devices.size}-device mesh")
-    service = serve.LiftingService(model, params, buckets=buckets, mesh=mesh)
+    service = serve.LiftingService(model, params, buckets=buckets, mesh=mesh,
+                                   dynamic_batching=(batching == "auto"))
     if warmup:
         secs = service.warmup()
         print(f"[serve] warm: compiled buckets {service.buckets} "

@@ -47,6 +47,81 @@ def bucket_for(n_windows: int, buckets: Sequence[int]) -> int:
     return max(buckets)
 
 
+class _DynamicBatcher:
+    """Cross-request window batching.
+
+    Concurrent ``lift()`` calls enqueue their window rows (2D windows + the
+    request's own host-keyed noise); one dispatch thread drains whatever is
+    already queued — never waiting for more — concatenates the rows into a
+    single bucket-padded sampler call, and scatters the results back to each
+    request's future.  Window rows are independent through the whole sampler
+    (batch is the leading axis everywhere), so co-batching changes execution
+    layout only, exactly like the bucket/chunk padding it rides on.
+    """
+
+    def __init__(self, service: "LiftingService", autostart: bool = True):
+        import queue
+        self._service = service
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="pafuse-serve-batcher")
+        if autostart:
+            self._thread.start()
+
+    def submit(self, arrays):
+        """arrays: (w2d, w2d_flip, init, stepn), W rows each.  Returns a
+        Future resolving to the (W, S, H, rf, J, 3) predictions."""
+        from concurrent.futures import Future
+        f: Future = Future()
+        self._q.put((arrays, f))
+        return f
+
+    def _loop(self):
+        import queue
+        svc = self._service
+        max_rows = max(svc.buckets)
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            rows = item[0][0].shape[0]
+            # drain only what is already queued: no artificial batching delay
+            while rows < max_rows:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)
+                    break
+                batch.append(nxt)
+                rows += nxt[0][0].shape[0]
+            try:
+                if len(batch) == 1:
+                    arrays = batch[0][0]
+                else:
+                    arrays = tuple(
+                        np.concatenate([b[0][i] for b in batch])
+                        for i in range(4))
+                out = svc._device_run(*arrays)
+                with svc._stats_lock:
+                    svc.stats["batch_calls"] += 1
+                    svc.stats["batched_requests"] += len(batch)
+                ofs = 0
+                for arrs, f in batch:
+                    w = arrs[0].shape[0]
+                    f.set_result(out[ofs:ofs + w])
+                    ofs += w
+            except Exception as e:  # propagate to every waiting request
+                for _, f in batch:
+                    if not f.done():
+                        f.set_exception(e)
+
+    def stop(self):
+        self._q.put(None)
+
+
 class LiftingService:
     """Warm, reusable 2D->3D lifting engine around a D3DP model.
 
@@ -59,10 +134,15 @@ class LiftingService:
     mesh: optional ``jax.sharding.Mesh`` — window batches shard over its
         ``data`` axis (params replicated), so one service spans a pod slice;
         buckets round up to device-count multiples.
+    dynamic_batching: concurrent requests' windows are concatenated into one
+        sampler call by a dispatch thread (zero added latency — only rows
+        already queued are drained); ``False`` serializes whole requests
+        through a lock as before.
     """
 
     def __init__(self, model, params, buckets: Sequence[int] = (1, 4, 16),
-                 warmup: bool = False, mesh=None):
+                 warmup: bool = False, mesh=None,
+                 dynamic_batching: bool = True):
         import jax
 
         self.mesh = mesh
@@ -78,8 +158,10 @@ class LiftingService:
         self.params = params
         self.receptive_field = model.cfg.frames
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self.stats: Dict[str, float] = {
             "requests": 0, "frames": 0, "errors": 0,
+            "batch_calls": 0, "batched_requests": 0,
             "busy_seconds": 0.0, "started": time.time(),
         }
 
@@ -103,6 +185,7 @@ class LiftingService:
                 _sample, in_shardings=(repl, data, step_sh, data, data))
         else:
             self._sample = jax.jit(_sample)
+        self._batcher = (_DynamicBatcher(self) if dynamic_batching else None)
         if warmup:
             self.warmup()
 
@@ -117,27 +200,30 @@ class LiftingService:
         return time.time() - t0
 
     # -- request path ------------------------------------------------------
-    def _run_windows(self, w2d: np.ndarray, w2d_flip: np.ndarray,
-                     seed: int) -> np.ndarray:
-        """Run all windows through the sampler in bucket-padded chunks.
-
-        w2d: (W, rf, J, 2) -> (W, S, H, rf, J, 3); one-deep pipeline so the
-        host readback of chunk i overlaps device compute of chunk i+1.
-
-        DDIM noise is drawn on the host, keyed per (seed, window), so a
-        request's result is independent of bucket configuration and chunk
-        boundaries — the same request with the same seed is bit-reproducible
-        on any serving deployment.
-        """
-        import jax.numpy as jnp
-        from pafuse_tpu.utils.backend import run_chunked_pipelined
-
+    def _request_arrays(self, w2d: np.ndarray, w2d_flip: np.ndarray,
+                        seed: int):
+        """Build the 4 per-window arrays of a request: 2D windows + the
+        request's DDIM noise.  Noise is drawn on the host, keyed per
+        (seed, window), so a request's result is independent of bucket
+        configuration, chunk boundaries AND cross-request co-batching — the
+        same request with the same seed is bit-reproducible on any serving
+        deployment."""
         cfg = self.model.cfg
         W, rf, J = w2d.shape[0], self.receptive_field, cfg.num_kps
         H, S = cfg.num_proposals, cfg.sampling_timesteps
         nrng = np.random.RandomState([np.uint32(seed), 0x5E21])
         init = nrng.randn(W, H, rf, J, 3).astype(np.float32)
         stepn = nrng.randn(W, S, H, rf, J, 3).astype(np.float32)
+        return w2d, w2d_flip, init, stepn
+
+    def _device_run(self, w2d, w2d_flip, init, stepn) -> np.ndarray:
+        """Run window rows through the sampler in bucket-padded chunks:
+        (W, rf, J, 2) -> (W, S, H, rf, J, 3); one-deep pipeline so the host
+        readback of chunk i overlaps device compute of chunk i+1.  Called
+        from the dispatch thread (dynamic batching) or under the service
+        lock."""
+        import jax.numpy as jnp
+        from pafuse_tpu.utils.backend import run_chunked_pipelined
 
         def call(w2d_c, w2d_flip_c, init_c, stepn_c):
             return self._sample(
@@ -147,7 +233,14 @@ class LiftingService:
                 jnp.asarray(w2d_c), jnp.asarray(w2d_flip_c))
 
         return run_chunked_pipelined(call, (w2d, w2d_flip, init, stepn),
-                                     bucket_for(W, self.buckets))
+                                     bucket_for(w2d.shape[0], self.buckets))
+
+    def _run_windows(self, w2d: np.ndarray, w2d_flip: np.ndarray,
+                     seed: int) -> np.ndarray:
+        arrays = self._request_arrays(w2d, w2d_flip, seed)
+        if self._batcher is not None:
+            return self._batcher.submit(arrays).result()
+        return self._device_run(*arrays)
 
     def lift(self, keypoints: np.ndarray, width: Optional[int] = None,
              height: Optional[int] = None, seed: int = 0,
@@ -181,8 +274,14 @@ class LiftingService:
                 f"expected {self.model.cfg.num_kps} joints, "
                 f"got {keypoints.shape[1]}")
 
+        import contextlib
         t0 = time.time()
-        with self._lock:
+        # With dynamic batching the device is owned by the dispatch thread,
+        # so per-request host prep may run concurrently; without it, whole
+        # requests serialize through the lock as before.
+        serial = (self._lock if self._batcher is None
+                  else contextlib.nullcontext())
+        with serial:
             try:
                 with host_compute():
                     if width is not None and height is not None:
@@ -209,12 +308,14 @@ class LiftingService:
                 if not all_hypotheses:
                     final = final.mean(axis=0)            # (T, J, 3)
             except Exception:
-                self.stats["errors"] += 1
+                with self._stats_lock:
+                    self.stats["errors"] += 1
                 raise
             dt = time.time() - t0
-            self.stats["requests"] += 1
-            self.stats["frames"] += int(keypoints.shape[0])
-            self.stats["busy_seconds"] += dt
+            with self._stats_lock:
+                self.stats["requests"] += 1
+                self.stats["frames"] += int(keypoints.shape[0])
+                self.stats["busy_seconds"] += dt
         return {
             "poses": final,
             "num_frames": int(keypoints.shape[0]),
@@ -232,6 +333,7 @@ class LiftingService:
         s["sampling_timesteps"] = int(self.model.cfg.sampling_timesteps)
         s["mesh_devices"] = (int(np.prod(self.mesh.devices.shape))
                              if self.mesh is not None else 1)
+        s["dynamic_batching"] = self._batcher is not None
         return s
 
 
@@ -263,8 +365,10 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
                 for k, v in service.health().items():
                     if isinstance(v, bool) or not isinstance(v, (int, float)):
                         continue
+                    counter = k in ("requests", "frames", "errors",
+                                    "batch_calls", "batched_requests")
                     lines.append(f"# TYPE pafuse_{k} "
-                                 f"{'counter' if k in ('requests', 'frames', 'errors') else 'gauge'}")
+                                 f"{'counter' if counter else 'gauge'}")
                     lines.append(f"pafuse_{k} {v}")
                 body = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)

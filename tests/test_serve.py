@@ -165,6 +165,43 @@ def test_mesh_sharded_service_matches_single_device(service):
                                atol=2e-5)
 
 
+def test_dynamic_batcher_coalesces_and_matches(service):
+    """Queued concurrent requests are concatenated into ONE sampler call and
+    each gets exactly its own rows back (same values as a direct run)."""
+    rng = np.random.RandomState(5)
+    reqs = [service._request_arrays(
+                rng.randn(w, 9, 134, 2).astype(np.float32),
+                rng.randn(w, 9, 134, 2).astype(np.float32), seed=i)
+            for i, w in enumerate([1, 2, 1])]
+    direct = [service._device_run(*r) for r in reqs]
+
+    calls0 = service.stats["batch_calls"]
+    b = serve._DynamicBatcher(service, autostart=False)
+    futures = [b.submit(r) for r in reqs]     # all queued before dispatch
+    b._thread.start()
+    outs = [f.result(timeout=300) for f in futures]
+    b.stop()
+    assert service.stats["batch_calls"] == calls0 + 1   # one coalesced call
+    for out, ref in zip(outs, direct):
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_concurrent_lifts_match_sequential(service):
+    """Racing lift() calls through the service's own batcher must return the
+    same poses as sequential calls (co-batching changes layout only)."""
+    import concurrent.futures as cf
+    assert service.health()["dynamic_batching"] is True
+    rng = np.random.RandomState(6)
+    kps = [rng.randn(9 * w, 134, 2).astype(np.float32) for w in (1, 2, 1, 3)]
+    seq = [service.lift(k, seed=i)["poses"] for i, k in enumerate(kps)]
+    with cf.ThreadPoolExecutor(4) as ex:
+        par = list(ex.map(lambda ik: service.lift(ik[1], seed=ik[0])["poses"],
+                          enumerate(kps)))
+    for a, b in zip(seq, par):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_build_service_from_config(tmp_path, monkeypatch):
     """CLI-level construction: config -> model -> warm service (no ckpt)."""
     from pafuse_tpu import config as cfg_mod
@@ -177,6 +214,7 @@ def test_build_service_from_config(tmp_path, monkeypatch):
     svc = build_service(args, warmup=False)
     assert svc.buckets == (1, 2)
     assert svc.mesh is None
+    assert svc.health()["dynamic_batching"] is True  # serve.batching default
     out = svc.lift(np.zeros((4, 134, 2), np.float32))
     assert out["poses"].shape == (4, 134, 3)
 
