@@ -454,10 +454,21 @@ def _block_t_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     bproj_ref, n2s_ref, n2b_ref, wfc1_ref, bfc1_ref,
                     wfc2_ref, bfc2_ref, nos_ref, nob_ref, out_ref, *,
                     num_heads: int, seq_len: int, head_dim: int,
-                    pad_to: int):
+                    pad_to: int, n_joints: int):
     x = x_ref[:]                                  # (TBb, F, TBn, C)
     tbb, f, tbn, c = x.shape
     x = jnp.swapaxes(x, 1, 2)                     # (TBb, TBn, F, C) in VMEM
+    if n_joints % tbn:
+        # Joint tiles overhanging N read UNDEFINED memory.  The garbage rows'
+        # outputs are dropped on write-back, but their k/v columns enter the
+        # group-packed logits of VALID rows in the same g-group; the softmax
+        # mask makes those weights exactly 0.0, yet 0.0 * Inf/NaN = NaN in
+        # the AV matmul would poison valid rows — zero the overhang here so
+        # garbage rows are as well-defined as the token padding.
+        j = pl.program_id(1)
+        row = j * tbn + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tbn, 1, 1), 1)
+        x = jnp.where(row < n_joints, x, jnp.zeros((), x.dtype))
     x = x.reshape(tbb * tbn, f, c)                # leading-dims reshape
     if pad_to != f:
         # token padding in VMEM, exactly as _block_kernel
@@ -479,11 +490,11 @@ def pallas_block_temporal(block_params, outer_norm, x, num_heads: int,
     x: (B, F, N, C); tokens = frames.  Numerically equivalent to
     ``swapaxes(pallas_block(params, outer, swapaxes(x, 1, 2)), 1, 2)`` but
     without materializing either HBM transpose.  Tiles are (TBb, F, TBn, C)
-    over a (B/TBb, ceil(N/TBn)) grid; joint tiles that overhang N are
-    computed on garbage rows and dropped on the masked write-back (rows are
-    fully independent through the block: LN/attention/MLP never mix (b, n)
-    rows, and the group-packed softmax masks cross-row logits before they
-    mix).  Returns None to decline (no pallas / CPU backend).
+    over a (B/TBb, ceil(N/TBn)) grid; joint tiles that overhang N are zeroed
+    in VMEM (undefined memory would otherwise reach valid rows' AV matmuls
+    as 0 * garbage through the group-packed softmax), computed as dead rows
+    and dropped on the write-back.  Returns None to decline (no pallas /
+    CPU backend).
     """
     if not _HAS_PALLAS:
         return None
@@ -525,7 +536,8 @@ def pallas_block_temporal(block_params, outer_norm, x, num_heads: int,
         vec(C), vec(C),
     ]
     kernel = functools.partial(_block_t_kernel, num_heads=num_heads,
-                               seq_len=F, head_dim=head_dim, pad_to=Lp)
+                               seq_len=F, head_dim=head_dim, pad_to=Lp,
+                               n_joints=N)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // TBb, -(-N // TBn)),

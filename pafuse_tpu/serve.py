@@ -14,8 +14,11 @@ request path.  TPU-native design:
   same executables.
 * **Resident parameters.** Params are transferred to the device once and
   shared by every request.
-* **Serialized device access.** One chip, one compute stream: requests are
-  serialized through a lock (the HTTP layer may accept them concurrently).
+* **Single-owner device access with dynamic batching.** One dispatch thread
+  owns the compute stream; concurrent requests' window rows are coalesced
+  into one sampler call (zero added latency — only already-queued rows are
+  drained).  ``serve.batching=off`` serializes whole requests through a lock
+  instead.
 
 The request path mirrors the in-the-wild pipeline (normalize -> window ->
 flip-TTA DDIM -> whole-body assembly -> stitch -> optional camera-to-world),
@@ -63,6 +66,7 @@ class _DynamicBatcher:
         import queue
         self._service = service
         self._q: "queue.Queue" = queue.Queue()
+        self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="pafuse-serve-batcher")
         if autostart:
@@ -72,6 +76,8 @@ class _DynamicBatcher:
         """arrays: (w2d, w2d_flip, init, stepn), W rows each.  Returns a
         Future resolving to the (W, S, H, rf, J, 3) predictions."""
         from concurrent.futures import Future
+        if self._stopped:
+            raise RuntimeError("batcher stopped")
         f: Future = Future()
         self._q.put((arrays, f))
         return f
@@ -83,7 +89,15 @@ class _DynamicBatcher:
         while True:
             item = self._q.get()
             if item is None:
-                return
+                # fail anything that raced in behind the stop sentinel
+                # rather than leaving its caller blocked forever
+                while True:
+                    try:
+                        late = self._q.get_nowait()
+                    except queue.Empty:
+                        return
+                    if late is not None:
+                        late[1].set_exception(RuntimeError("batcher stopped"))
             batch = [item]
             rows = item[0][0].shape[0]
             # drain only what is already queued: no artificial batching delay
@@ -119,6 +133,7 @@ class _DynamicBatcher:
                         f.set_exception(e)
 
     def stop(self):
+        self._stopped = True
         self._q.put(None)
 
 
@@ -193,10 +208,15 @@ class LiftingService:
     def warmup(self) -> float:
         """Compile + run every bucket once; returns elapsed seconds."""
         t0 = time.time()
+        with self._stats_lock:
+            busy0 = self.stats["busy_seconds"]
         rf, J = self.receptive_field, self.model.cfg.num_kps
         for b in self.buckets:
             x = np.zeros((b, rf, J, 2), np.float32)
             self._run_windows(x, x, seed=0)
+        with self._stats_lock:
+            # startup compiles are not serving occupancy
+            self.stats["busy_seconds"] = busy0
         return time.time() - t0
 
     # -- request path ------------------------------------------------------
@@ -204,10 +224,13 @@ class LiftingService:
                         seed: int):
         """Build the 4 per-window arrays of a request: 2D windows + the
         request's DDIM noise.  Noise is drawn on the host, keyed per
-        (seed, window), so a request's result is independent of bucket
-        configuration, chunk boundaries AND cross-request co-batching — the
-        same request with the same seed is bit-reproducible on any serving
-        deployment."""
+        (seed, window), so a request's result is SEMANTICALLY independent of
+        bucket configuration, chunk boundaries and cross-request co-batching
+        (same math, same noise).  Bytes are identical whenever the same
+        bucket executable processes the request; co-batching under
+        concurrent load may route it through a larger bucket, whose XLA
+        tiling can differ at float-rounding level (~1e-5) — serve.batching=off
+        restores strict bit-reproducibility under load."""
         cfg = self.model.cfg
         W, rf, J = w2d.shape[0], self.receptive_field, cfg.num_kps
         H, S = cfg.num_proposals, cfg.sampling_timesteps
@@ -221,19 +244,28 @@ class LiftingService:
         (W, rf, J, 2) -> (W, S, H, rf, J, 3); one-deep pipeline so the host
         readback of chunk i overlaps device compute of chunk i+1.  Called
         from the dispatch thread (dynamic batching) or under the service
-        lock."""
-        import jax.numpy as jnp
+        lock, so ``busy_seconds`` measured here is true device occupancy
+        (request latencies overlap it when co-batched)."""
         from pafuse_tpu.utils.backend import run_chunked_pipelined
 
         def call(w2d_c, w2d_flip_c, init_c, stepn_c):
+            # host arrays go straight into the jitted call: under a mesh,
+            # jit transfers each shard once per in_shardings — wrapping in
+            # jnp.asarray first would commit the full chunk to device 0 and
+            # then re-scatter it over ICI (replicate-then-slice)
             return self._sample(
-                self.params, jnp.asarray(init_c),
+                self.params, init_c,
                 # step noise is consumed as (S, B, H, rf, J, 3) by the scan
-                jnp.asarray(stepn_c.transpose(1, 0, 2, 3, 4, 5)),
-                jnp.asarray(w2d_c), jnp.asarray(w2d_flip_c))
+                np.ascontiguousarray(
+                    stepn_c.transpose(1, 0, 2, 3, 4, 5)),
+                w2d_c, w2d_flip_c)
 
-        return run_chunked_pipelined(call, (w2d, w2d_flip, init, stepn),
-                                     bucket_for(w2d.shape[0], self.buckets))
+        t0 = time.time()
+        out = run_chunked_pipelined(call, (w2d, w2d_flip, init, stepn),
+                                    bucket_for(w2d.shape[0], self.buckets))
+        with self._stats_lock:
+            self.stats["busy_seconds"] += time.time() - t0
+        return out
 
     def _run_windows(self, w2d: np.ndarray, w2d_flip: np.ndarray,
                      seed: int) -> np.ndarray:
@@ -254,7 +286,10 @@ class LiftingService:
             given (normalized per the reference's screen convention);
             otherwise assumed already normalized to [-1, 1].
         seed: DDIM noise seed — identical (request, seed) pairs are
-            bit-reproducible.
+            bit-reproducible up to bucket routing (co-batching under
+            concurrent load may pick a larger bucket executable, a
+            float-rounding-level ~1e-5 effect; serve.batching=off pins
+            routing to request size alone).
         world: apply the reference's in-the-wild camera->world rotation and
             floor rebase.
         all_hypotheses: return all H hypotheses instead of their mean.
@@ -315,7 +350,6 @@ class LiftingService:
             with self._stats_lock:
                 self.stats["requests"] += 1
                 self.stats["frames"] += int(keypoints.shape[0])
-                self.stats["busy_seconds"] += dt
         return {
             "poses": final,
             "num_frames": int(keypoints.shape[0]),
@@ -348,10 +382,12 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
-        def _reply(self, code: int, payload: Dict):
-            body = json.dumps(payload).encode()
+        def _reply(self, code: int, payload,
+                   content_type: str = "application/json"):
+            body = (payload if isinstance(payload, bytes)
+                    else json.dumps(payload).encode())
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -370,13 +406,8 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
                     lines.append(f"# TYPE pafuse_{k} "
                                  f"{'counter' if counter else 'gauge'}")
                     lines.append(f"pafuse_{k} {v}")
-                body = ("\n".join(lines) + "\n").encode()
-                self.send_response(200)
-                self.send_header("Content-Type",
-                                 "text/plain; version=0.0.4")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._reply(200, ("\n".join(lines) + "\n").encode(),
+                            content_type="text/plain; version=0.0.4")
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
