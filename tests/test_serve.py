@@ -215,6 +215,16 @@ def test_build_service_from_config(tmp_path, monkeypatch):
     assert svc.buckets == (1, 2)
     assert svc.mesh is None
     assert svc.health()["dynamic_batching"] is True  # serve.batching default
+
+    args_off = cfg_mod.load_config(overrides=[
+        "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20",
+        "ft2d.num_proposals=2", "ft2d.sampling_timesteps=2",
+        "serve.buckets=[1,2]", "serve.shard=off", "serve.batching=off",
+    ])
+    svc_off = build_service(args_off, warmup=False)
+    assert svc_off.health()["dynamic_batching"] is False
+    out = svc_off.lift(np.zeros((4, 134, 2), np.float32))
+    assert out["poses"].shape == (4, 134, 3)
     out = svc.lift(np.zeros((4, 134, 2), np.float32))
     assert out["poses"].shape == (4, 134, 3)
 
