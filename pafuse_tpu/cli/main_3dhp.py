@@ -40,6 +40,11 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
         part_based=False,
         mm_scale=True,
         drop_path_rate=0.1 if is_train else 0.0,
+        # the reference PARSES model.dropout but never forwards it into
+        # MixSTE2 (diffusionpose.py:140-153 passes no drop_rate) — a dead
+        # knob there; here it drives real MLP/proj/attn dropout, matching
+        # the module's documented hooks (mixste.py:35,56-59,73).  The
+        # default 0.0 is bit-identical to the reference's behavior.
         dropout=float(args.model.dropout) if is_train else 0.0,
         test_time_augmentation=args.model.test_time_augmentation,
     )

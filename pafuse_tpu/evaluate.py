@@ -350,12 +350,15 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
         masks[-1, n_windows - (n_batches - 1) * bs:] = 0.0
         dmask = jnp.asarray(masks)
 
-        dinit = dstep = None
+        hinit = hstep = None
         if noise_table is not None:
-            dinit = jnp.asarray(pooled([init_tab[lo:hi]]))
+            # the noise table is S*H-fold larger than the data modalities —
+            # keep the group stack on HOST and ship one batch per step, or
+            # flagship op-points (P=20, T=10) blow device memory
+            hinit = pooled([init_tab[lo:hi]])
             # (n_win, S, ...) -> (nb, bs, S, ...) -> (nb, S, bs, ...): scan
             # wants the step axis leading within each batch
-            dstep = jnp.asarray(np.moveaxis(pooled([step_tab[lo:hi]]), 2, 1))
+            hstep = np.moveaxis(pooled([step_tab[lo:hi]]), 2, 1)
 
         for b_i in range(n_batches):
             cur = min(bs, n_windows - b_i * bs)
@@ -363,7 +366,8 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                 metrics_dev = step(params, subs[b_count], d2d[b_i],
                                    d2d_flip[b_i], dgt[b_i], dtraj[b_i],
                                    dcam[b_i], dmask[b_i],
-                                   dinit[b_i], dstep[b_i])
+                                   jnp.asarray(hinit[b_i]),
+                                   jnp.asarray(hstep[b_i]))
             else:
                 metrics_dev = step(params, subs[b_count], d2d[b_i],
                                    d2d_flip[b_i], dgt[b_i], dtraj[b_i],

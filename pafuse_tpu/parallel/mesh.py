@@ -88,13 +88,15 @@ def make_hybrid_mesh(ici_per_host: int = -1, axis_names=("data",),
         return make_mesh((ici_per_host,), axis_names)
     devs = jax.devices()
     slice_ids = {getattr(d, "slice_index", None) for d in devs}
-    if len(slice_ids) == n_hosts and None not in slice_ids:
-        # real multi-slice TPU deployment: let mesh_utils pick the
-        # ICI-optimal per-slice layout
+    if len(slice_ids) > 1 and None not in slice_ids:
+        # real multi-slice TPU deployment (any hosts-per-slice ratio —
+        # slices, not processes, are the DCN boundary): let mesh_utils pick
+        # the ICI-optimal per-slice layout
         from jax.experimental import mesh_utils
+        n_slices = len(slice_ids)
         devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(len(devs) // n_hosts,),
-            dcn_mesh_shape=(n_hosts,),
+            mesh_shape=(len(devs) // n_slices,),
+            dcn_mesh_shape=(n_slices,),
         )
         return Mesh(devices.reshape(-1), tuple(axis_names))
     # multi-process without slice metadata (e.g. CPU multi-process, or

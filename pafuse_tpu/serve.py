@@ -74,7 +74,7 @@ class _DynamicBatcher:
 
     def submit(self, arrays):
         """arrays: (w2d, w2d_flip, init, stepn), W rows each.  Returns a
-        Future resolving to the (W, S, H, rf, J, 3) predictions."""
+        Future resolving to the (W, H, rf, J, 3) final-step predictions."""
         from concurrent.futures import Future
         if self._stopped:
             raise RuntimeError("batcher stopped")
@@ -153,12 +153,17 @@ class LiftingService:
         sampler call by a dispatch thread (zero added latency — only rows
         already queued are drained); ``False`` serializes whole requests
         through a lock as before.
+    max_frames: per-request frame cap (request noise/result buffers are
+        proportional to request length; the cap keeps one oversized or
+        malicious request from exhausting host memory).
     """
 
     def __init__(self, model, params, buckets: Sequence[int] = (1, 4, 16),
                  warmup: bool = False, mesh=None,
-                 dynamic_batching: bool = True):
+                 dynamic_batching: bool = True, max_frames: int = 100_000):
         import jax
+
+        self.max_frames = int(max_frames)
 
         self.mesh = mesh
         n_dev = (int(np.prod(mesh.devices.shape))
@@ -186,7 +191,10 @@ class LiftingService:
             preds = model.eval_forward(params, jax.random.PRNGKey(0), x2d,
                                        x2d_flip, init_noise=init_noise,
                                        step_noise=step_noise)
-            return geometry.wb_pose_from_parts(preds)
+            # only the final DDIM step is served — slice on DEVICE so the
+            # host readback (and per-request memory) shrinks by the
+            # sampling_timesteps factor
+            return geometry.wb_pose_from_parts(preds)[:, -1]
 
         if n_dev > 1:
             # same sharding layout as evaluate.build_eval_step: batch over
@@ -234,14 +242,18 @@ class LiftingService:
         cfg = self.model.cfg
         W, rf, J = w2d.shape[0], self.receptive_field, cfg.num_kps
         H, S = cfg.num_proposals, cfg.sampling_timesteps
-        nrng = np.random.RandomState([np.uint32(seed), 0x5E21])
-        init = nrng.randn(W, H, rf, J, 3).astype(np.float32)
-        stepn = nrng.randn(W, S, H, rf, J, 3).astype(np.float32)
+        init = np.empty((W, H, rf, J, 3), np.float32)
+        stepn = np.empty((W, S, H, rf, J, 3), np.float32)
+        for i in range(W):
+            r = np.random.RandomState([np.uint32(seed), np.uint32(i), 0x5E21])
+            init[i] = r.randn(H, rf, J, 3)
+            stepn[i] = r.randn(S, H, rf, J, 3)
         return w2d, w2d_flip, init, stepn
 
     def _device_run(self, w2d, w2d_flip, init, stepn) -> np.ndarray:
         """Run window rows through the sampler in bucket-padded chunks:
-        (W, rf, J, 2) -> (W, S, H, rf, J, 3); one-deep pipeline so the host
+        (W, rf, J, 2) -> (W, H, rf, J, 3) at the final DDIM step (the slice
+        happens on device); one-deep pipeline so the host
         readback of chunk i overlaps device compute of chunk i+1.  Called
         from the dispatch thread (dynamic batching) or under the service
         lock, so ``busy_seconds`` measured here is true device occupancy
@@ -304,10 +316,20 @@ class LiftingService:
         if keypoints.ndim != 3 or keypoints.shape[-1] != 2:
             raise ValueError(
                 f"keypoints must be (frames, joints, 2); got {keypoints.shape}")
+        if keypoints.shape[0] < 1:
+            raise ValueError("keypoints must contain at least one frame")
         if keypoints.shape[1] != self.model.cfg.num_kps:
             raise ValueError(
                 f"expected {self.model.cfg.num_kps} joints, "
                 f"got {keypoints.shape[1]}")
+        if (width is None) != (height is None):
+            # half-specified resolution would silently skip pixel
+            # normalization and feed raw pixels to a [-1,1]-trained model
+            raise ValueError("width and height must be given together")
+        if keypoints.shape[0] > self.max_frames:
+            raise ValueError(
+                f"request has {keypoints.shape[0]} frames; the per-request "
+                f"limit is {self.max_frames} (max_frames)")
 
         import contextlib
         t0 = time.time()
@@ -331,10 +353,10 @@ class LiftingService:
                 w2d_flip, _ = win.eval_data_prepare(rf, flip)
 
                 preds = self._run_windows(w2d, w2d_flip, seed=int(seed))
-                # (W, S, H, rf, J, 3) -> (S, H, W, rf, J, 3) -> stitch
-                preds = preds.transpose(1, 2, 0, 3, 4, 5)
-                timeline = win.stitch_windows(preds, keypoints.shape[0], rf)
-                final = timeline[-1]                      # (H, T, J, 3)
+                # (W, H, rf, J, 3) -> (H, W, rf, J, 3) -> stitch timeline
+                preds = preds.transpose(1, 0, 2, 3, 4)
+                final = win.stitch_windows(preds, keypoints.shape[0], rf)
+                # (H, T, J, 3) at the final DDIM step
                 if world:
                     with host_compute():
                         final = np.array(geometry.camera_to_world(

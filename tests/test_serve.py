@@ -88,6 +88,16 @@ def test_lift_input_validation(service):
         service.lift(np.zeros((5, 134, 3), np.float32))  # not 2D keypoints
     with pytest.raises(ValueError):
         service.lift(np.zeros((5, 17, 2), np.float32))   # wrong joint count
+    with pytest.raises(ValueError):
+        service.lift(np.zeros((0, 134, 2), np.float32))  # zero frames
+    with pytest.raises(ValueError):
+        # half-specified resolution would skip pixel normalization silently
+        service.lift(np.zeros((5, 134, 2), np.float32), width=640)
+    with pytest.raises(ValueError):
+        # per-request frame cap bounds host memory
+        svc_small = serve.LiftingService(service.model, service.params,
+                                         buckets=(1,), max_frames=10)
+        svc_small.lift(np.zeros((11, 134, 2), np.float32))
     health = service.health()
     assert health["status"] == "ok"
     assert health["errors"] == 0  # validation rejects happen outside lift

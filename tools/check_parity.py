@@ -87,6 +87,12 @@ def parse_args(argv=None):
     # model shape overrides (defaults = flagship); lets tests exercise the
     # harness end-to-end with a tiny fabricated checkpoint
     p.add_argument("--frames", type=int, default=27)
+    p.add_argument("--batch-size", type=int, default=1024,
+                   help="eval window sub-batch bound; the reference "
+                        "sub-batches eval windows in chunks of "
+                        "model.batch_size (main_h3wb.py:306), and P_Best "
+                        "selects its argmin hypothesis by BATCH-mean error, "
+                        "so strict parity needs the same boundaries")
     p.add_argument("--dep", type=int, default=8)
     p.add_argument("--timestep", type=int, default=1000)
     p.add_argument("--subjects", default="S8")
@@ -372,7 +378,8 @@ def main(argv=None):
               + (" (injected noise)" if a.inject_noise else "") + " ...")
         pin = ev.pinned_window_batch(
             [kp for s in subjects for act in keypoints[s]
-             for kp in keypoints[s][act]], a.frames)
+             for kp in keypoints[s][act]], a.frames,
+            sub_batch=a.batch_size)
         per_action = {}
         # 'highest' matmul precision: strict-parity evaluation (TPU f32
         # dots otherwise decompose to bf16 passes; see PARITY.md)
