@@ -75,8 +75,10 @@ def build_service(args, warmup: bool = True):
                          tuple(args.tpu.mesh_axis_names))
         print(f"[serve] sharding window batches over "
               f"{mesh.devices.size}-device mesh")
-    service = serve.LiftingService(model, params, buckets=buckets, mesh=mesh,
-                                   dynamic_batching=(batching == "auto"))
+    service = serve.LiftingService(
+        model, params, buckets=buckets, mesh=mesh,
+        dynamic_batching=(batching == "auto"),
+        max_frames=int(getattr(args.serve, "max_frames", 100_000)))
     if warmup:
         secs = service.warmup()
         print(f"[serve] warm: compiled buckets {service.buckets} "

@@ -225,6 +225,7 @@ def test_build_service_from_config(tmp_path, monkeypatch):
     assert svc.buckets == (1, 2)
     assert svc.mesh is None
     assert svc.health()["dynamic_batching"] is True  # serve.batching default
+    assert svc.max_frames == 100_000                 # serve.max_frames default
 
     args_off = cfg_mod.load_config(overrides=[
         "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20",
