@@ -106,6 +106,10 @@ def run_chunked_pipelined(fn, arrays, chunk: int):
     """
     import numpy as np
     n = arrays[0].shape[0]
+    if n == 0:
+        # surface the caller's bug clearly instead of np.concatenate([])'s
+        # cryptic error after an empty loop
+        raise ValueError("run_chunked_pipelined: empty leading axis")
     outs, pending = [], None
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
