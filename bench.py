@@ -164,7 +164,30 @@ def torch_baseline_fps() -> float:
         return float("nan")
 
 
+def probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast if the accelerator backend is unreachable.
+
+    A stalled tunnel makes ``jax.devices()`` hang in a retry loop with no
+    error (observed multi-hour outages); probing in a subprocess with a
+    timeout turns an indefinite hang into a clear failure."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, timeout=timeout_s, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: accelerator backend unreachable (jax.devices() hung "
+              f"for {timeout_s}s — tunnel stall?); refusing to hang",
+              file=sys.stderr)
+        sys.exit(2)
+    if out.returncode != 0:
+        print(f"bench: backend probe failed:\n{out.stderr[-500:]}",
+              file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
+    probe_backend()
     fps = measure_ours()
     pipe_fps = None
     if os.environ.get("PAFUSE_BENCH_PIPELINE", "1") != "0":
