@@ -8,7 +8,7 @@ request path.  TPU-native design:
 
 * **Static shape buckets.** XLA compiles one executable per input shape, so
   the service pads every request's window batch up to a fixed bucket size
-  (default 1/4/16 windows) and warm-compiles each bucket at startup; steady
+  (default 1/2/4/8/16 windows) and warm-compiles each bucket at startup; steady
   state never recompiles.  Requests longer than the largest bucket are
   processed in largest-bucket chunks, so arbitrary-length sequences ride the
   same executables.
@@ -146,6 +146,8 @@ class LiftingService:
         compile-time constants of the sampler).
     params: model parameter pytree (moved to device on first use).
     buckets: window-batch sizes to compile; requests pad up to the nearest.
+        The power-of-two default caps pad-up waste at 2x; each bucket costs
+        one warm compile at startup (cached across restarts).
     mesh: optional ``jax.sharding.Mesh`` — window batches shard over its
         ``data`` axis (params replicated), so one service spans a pod slice;
         buckets round up to device-count multiples.
@@ -158,7 +160,8 @@ class LiftingService:
         malicious request from exhausting host memory).
     """
 
-    def __init__(self, model, params, buckets: Sequence[int] = (1, 4, 16),
+    def __init__(self, model, params,
+                 buckets: Sequence[int] = (1, 2, 4, 8, 16),
                  warmup: bool = False, mesh=None,
                  dynamic_batching: bool = True, max_frames: int = 100_000):
         import jax
