@@ -282,8 +282,12 @@ class D3DP:
           (B, S, H, F, N, 3) x0 predictions stacked over the S DDIM steps.
         """
         cfg = self.cfg
-        H = num_proposals or cfg.num_proposals
-        S = sampling_timesteps or cfg.sampling_timesteps
+        H = cfg.num_proposals if num_proposals is None else num_proposals
+        S = (cfg.sampling_timesteps if sampling_timesteps is None
+             else sampling_timesteps)
+        if H < 1 or S < 1:
+            raise ValueError(f"num_proposals/sampling_timesteps must be >=1, "
+                             f"got {H}/{S}")
         B, F, N, _ = x2d.shape
         sched = self.schedule
 

@@ -188,6 +188,10 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                        ) -> Tuple[EvalAccumulator, Optional[np.ndarray]]:
     """Evaluate a list of (cam, pose_3d, pose_2d) sequences.
 
+    ``cfg`` is accepted for caller symmetry with the reference's
+    ``evaluate(args, ...)`` signature but is IGNORED — all evaluation
+    behavior comes from ``model.cfg`` and the explicit keyword arguments.
+
     Mirrors main_h3wb.py:261-404 semantics: per sequence, build the flipped
     2D copy, window via eval_data_prepare, center the GT per part; then run
     flip-TTA DDIM over window batches and accumulate all metrics (weighted
@@ -239,11 +243,8 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     if window_batch is not None:
         bs = window_batch
     else:
-        total_windows = 0
-        for _, _, seq_2d in sequences:
-            frames = np.squeeze(np.asarray(seq_2d)).shape[0]
-            total_windows += max(1, -(-frames // receptive_field))
-        bs = min(sub_batch, 1 << (max(1, total_windows) - 1).bit_length())
+        bs = pinned_window_batch([s for _, _, s in sequences],
+                                 receptive_field, sub_batch=sub_batch)
     if mesh is not None:
         n_dev = int(np.prod(mesh.devices.shape))
         bs = -(-max(bs, n_dev) // n_dev) * n_dev  # even shards per device
@@ -254,6 +255,12 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     # (host, numpy) P2-Procrustes pass overlap device compute.  The eager
     # per-batch np.asarray sync used to serialize host and device and cost
     # ~45% of end-to-end CLI evaluation throughput.
+    if collect_p2 and return_predictions:
+        # the two modes return different second elements; silently dropping
+        # the P2 accumulator (as an earlier version did) is worse than
+        # refusing the combination outright
+        raise ValueError(
+            "collect_p2 and return_predictions are mutually exclusive")
     pending = None
 
     def _drain(p):
@@ -283,11 +290,16 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
 
     # ---- host pass: window every sequence, pool the windows ---------------
     parts_2d, parts_2d_flip, parts_gt, parts_traj, parts_cam = [], [], [], [], []
+    use_tta = bool(getattr(model.cfg, "test_time_augmentation", True))
     for cam, seq_3d, seq_2d in sequences:
-        x2d_flip_seq = geometry.flip_pose_np(
-            np.asarray(seq_2d, np.float32), model.flip_permutation)
         w2d, w3d = win.eval_data_prepare(receptive_field, seq_2d, seq_3d)
-        w2d_flip, _ = win.eval_data_prepare(receptive_field, x2d_flip_seq)
+        if use_tta:
+            x2d_flip_seq = geometry.flip_pose_np(
+                np.asarray(seq_2d, np.float32), model.flip_permutation)
+            w2d_flip, _ = win.eval_data_prepare(receptive_field, x2d_flip_seq)
+        else:
+            # eval_forward ignores x2d_flip without TTA — skip the host flip
+            w2d_flip = w2d
 
         traj = w3d[:, :, :1].copy()
         with host_compute():  # per-sequence prep off the accelerator

@@ -43,6 +43,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pallas_usable() -> bool:
+    """Single decline policy for every Pallas kernel wrapper: pallas must be
+    importable and the default backend must not be CPU (Mosaic kernels
+    don't run there)."""
+    if not _HAS_PALLAS:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "cpu"
+    return backend != "cpu"
+
+
 # ---------------------------------------------------------------------------
 # Reference (XLA) implementation — re-exported for selection
 # ---------------------------------------------------------------------------
@@ -107,14 +120,7 @@ def pallas_attention(p, x, num_heads: int, compute_dtype,
 
     x: (..., L, C); all leading dims are flattened into a batch grid.
     """
-    if not _HAS_PALLAS:
-        return xla_attention(p, x, num_heads, compute_dtype)
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover
-        backend = "cpu"
-    if backend == "cpu":
-        # Mosaic kernels don't run on the CPU backend; keep the call safe
+    if not _pallas_usable():
         return xla_attention(p, x, num_heads, compute_dtype)
 
     *lead, L, C = x.shape
@@ -174,11 +180,15 @@ def select_attention_fn(use_pallas="auto", *, train: bool = False):
     for autodiff.  On CPU backends ``pallas_attention`` self-falls-back to
     XLA.
     """
+    if train:
+        # the kernel defines no VJP; even explicit opt-in must keep the
+        # XLA path for autodiff (matches every sibling selector)
+        return None
     if use_pallas is True or str(use_pallas).lower() == "true":
         return pallas_attention
     if use_pallas is False or str(use_pallas).lower() == "false":
         return None  # mixste default (XLA)
-    return None if train else pallas_attention
+    return pallas_attention
 
 
 # ---------------------------------------------------------------------------
@@ -196,12 +206,6 @@ def _erf_as(x):
     poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
                 + t * (-1.453152027 + t * 1.061405429))))
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _ln_f32(x, scale_ref, bias_ref, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale_ref[:] + bias_ref[:]
 
 
 def _block_body(xin, n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1,
@@ -288,47 +292,41 @@ def _block_body(xin, n1s, n1b, wqkv, bqkv, wproj, bproj, n2s, n2b, wfc1,
             preferred_element_type=f32).astype(cd)         # (H, R, d)
         ao = jnp.concatenate([ao[hh] for hh in range(num_heads)],
                              axis=-1)                      # (R, C)
-        ao = dot2d(ao, wproj, bproj).astype(cd)
-        x = xin + ao.reshape(tb, lp, c)
-        h = ln(x.astype(f32), n2s, n2b).astype(cd)
-        hdn = dot2d(h, wfc1, bfc1)
-        hdn = (0.5 * hdn * (1.0 + _erf_as(hdn * 0.7071067811865476))).astype(cd)
-        mo = jax.lax.dot_general(
-            hdn, wfc2.astype(cd),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32) + bfc2
-        x = x + mo.astype(cd).reshape(tb, lp, c)
-        return ln(x.astype(f32), nos, nob).astype(cd)
-
-    nb, rows = tb // g, g * lp
-    qkv = qkv.reshape(nb, rows, 3 * c)
-
-    if g > 1:
-        row_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // lp
-        col_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-        mask = ((row_blk == col_idx // lp)
-                & (col_idx % lp < seq_len))[None]           # (1, rows, rows)
-    elif lp != seq_len:
-        mask = (jax.lax.broadcasted_iota(jnp.int32, (nb, rows, rows), 2)
-                < seq_len)
     else:
-        mask = None                                         # nothing padded
-    head_outs = []
-    for hh in range(num_heads):
-        q = qkv[:, :, hh * head_dim:(hh + 1) * head_dim]
-        k = qkv[:, :, c + hh * head_dim: c + (hh + 1) * head_dim]
-        v = qkv[:, :, 2 * c + hh * head_dim: 2 * c + (hh + 1) * head_dim]
-        attn = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f32) * scale             # (nb, rows, rows)
-        if mask is not None:
-            attn = jnp.where(mask, attn, -1e30)
-        attn = jax.nn.softmax(attn, axis=-1).astype(cd)
-        head_outs.append(jax.lax.dot_general(
-            attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32).astype(cd))
-    ao = jnp.concatenate(head_outs, axis=-1)               # (nb, rows, C) cd
-    ao = dot2d(ao.reshape(tb * lp, c), wproj, bproj).astype(cd)
+        nb, rows = tb // g, g * lp
+        qkv = qkv.reshape(nb, rows, 3 * c)
+
+        if g > 1:
+            row_blk = jax.lax.broadcasted_iota(jnp.int32,
+                                               (rows, rows), 0) // lp
+            col_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+            mask = ((row_blk == col_idx // lp)
+                    & (col_idx % lp < seq_len))[None]       # (1, rows, rows)
+        elif lp != seq_len:
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (nb, rows, rows), 2)
+                    < seq_len)
+        else:
+            mask = None                                     # nothing padded
+        head_outs = []
+        for hh in range(num_heads):
+            q = qkv[:, :, hh * head_dim:(hh + 1) * head_dim]
+            k = qkv[:, :, c + hh * head_dim: c + (hh + 1) * head_dim]
+            v = qkv[:, :, 2 * c + hh * head_dim: 2 * c + (hh + 1) * head_dim]
+            attn = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32) * scale         # (nb, rows, rows)
+            if mask is not None:
+                attn = jnp.where(mask, attn, -1e30)
+            attn = jax.nn.softmax(attn, axis=-1).astype(cd)
+            head_outs.append(jax.lax.dot_general(
+                attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32).astype(cd))
+        # (nb, rows, C) -> (R, C): leading-dims reshape only
+        ao = jnp.concatenate(head_outs, axis=-1).reshape(tb * lp, c)
+
+    # shared tail for BOTH attention policies: proj -> +res -> LN2 -> MLP
+    # -> +res -> outer LN (a fix here must apply to heads AND per-head paths)
+    ao = dot2d(ao, wproj, bproj).astype(cd)
     x = xin + ao.reshape(tb, lp, c)
 
     h = ln(x.astype(f32), n2s, n2b).astype(cd)
@@ -375,14 +373,8 @@ def pallas_block(block_params, outer_norm, x, num_heads: int, compute_dtype,
     and ~768 rows balances MXU occupancy against the O((TB*Lp)^2) VPU
     softmax + the TB x logit-FLOP padding waste.
     """
-    if not _HAS_PALLAS:
+    if not _pallas_usable():
         return None  # caller falls back
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover
-        backend = "cpu"
-    if backend == "cpu":
-        return None
 
     *lead, L, C = x.shape
     B = int(np.prod(lead)) if lead else 1
@@ -496,13 +488,7 @@ def pallas_block_temporal(block_params, outer_norm, x, num_heads: int,
     and dropped on the write-back.  Returns None to decline (no pallas /
     CPU backend).
     """
-    if not _HAS_PALLAS:
-        return None
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover
-        backend = "cpu"
-    if backend == "cpu":
+    if not _pallas_usable():
         return None
 
     B, F, N, C = x.shape
@@ -622,13 +608,7 @@ def pallas_layer(ste_params, spatial_norm, tte_params, temporal_norm, x,
     minutes) — one reason this kernel is a documented negative result
     (docs/ROADMAP.md) and opt-in only.
     """
-    if not _HAS_PALLAS:
-        return None
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover
-        backend = "cpu"
-    if backend == "cpu":
+    if not _pallas_usable():
         return None
 
     B, F, N, C = x.shape
