@@ -185,6 +185,7 @@ class LiftingService:
         self.stats: Dict[str, float] = {
             "requests": 0, "frames": 0, "errors": 0,
             "batch_calls": 0, "batched_requests": 0,
+            "stream_sessions": 0, "stream_frames": 0,
             "busy_seconds": 0.0, "started": time.time(),
         }
 
@@ -231,6 +232,24 @@ class LiftingService:
         return time.time() - t0
 
     # -- request path ------------------------------------------------------
+    def _request_noise(self, n_windows: int, seed: int,
+                       salt: int = 0x5E21, base: int = 0):
+        """Per-window DDIM noise, keyed (seed, window index, salt) on the
+        host.  Batch requests key windows 0..W-1 (salt 0x5E21); streaming
+        sessions with per-frame noise key by absolute frame index under a
+        distinct salt so stream draws never collide with batch draws."""
+        cfg = self.model.cfg
+        rf, J = self.receptive_field, cfg.num_kps
+        H, S = cfg.num_proposals, cfg.sampling_timesteps
+        init = np.empty((n_windows, H, rf, J, 3), np.float32)
+        stepn = np.empty((n_windows, S, H, rf, J, 3), np.float32)
+        for i in range(n_windows):
+            r = np.random.RandomState([np.uint32(seed), np.uint32(base + i),
+                                       np.uint32(salt)])
+            init[i] = r.randn(H, rf, J, 3)
+            stepn[i] = r.randn(S, H, rf, J, 3)
+        return init, stepn
+
     def _request_arrays(self, w2d: np.ndarray, w2d_flip: np.ndarray,
                         seed: int):
         """Build the 4 per-window arrays of a request: 2D windows + the
@@ -242,15 +261,7 @@ class LiftingService:
         concurrent load may route it through a larger bucket, whose XLA
         tiling can differ at float-rounding level (~1e-5) — serve.batching=off
         restores strict bit-reproducibility under load."""
-        cfg = self.model.cfg
-        W, rf, J = w2d.shape[0], self.receptive_field, cfg.num_kps
-        H, S = cfg.num_proposals, cfg.sampling_timesteps
-        init = np.empty((W, H, rf, J, 3), np.float32)
-        stepn = np.empty((W, S, H, rf, J, 3), np.float32)
-        for i in range(W):
-            r = np.random.RandomState([np.uint32(seed), np.uint32(i), 0x5E21])
-            init[i] = r.randn(H, rf, J, 3)
-            stepn[i] = r.randn(S, H, rf, J, 3)
+        init, stepn = self._request_noise(w2d.shape[0], seed)
         return w2d, w2d_flip, init, stepn
 
     def _device_run(self, w2d, w2d_flip, init, stepn) -> np.ndarray:
@@ -282,12 +293,17 @@ class LiftingService:
             self.stats["busy_seconds"] += time.time() - t0
         return out
 
-    def _run_windows(self, w2d: np.ndarray, w2d_flip: np.ndarray,
-                     seed: int) -> np.ndarray:
-        arrays = self._request_arrays(w2d, w2d_flip, seed)
+    def _dispatch(self, arrays) -> np.ndarray:
+        """Route prepared (w2d, w2d_flip, init, stepn) rows to the device —
+        through the dynamic batcher (co-batching with concurrent requests)
+        when enabled, directly otherwise."""
         if self._batcher is not None:
             return self._batcher.submit(arrays).result()
         return self._device_run(*arrays)
+
+    def _run_windows(self, w2d: np.ndarray, w2d_flip: np.ndarray,
+                     seed: int) -> np.ndarray:
+        return self._dispatch(self._request_arrays(w2d, w2d_flip, seed))
 
     def lift(self, keypoints: np.ndarray, width: Optional[int] = None,
              height: Optional[int] = None, seed: int = 0,
@@ -396,15 +412,206 @@ class LiftingService:
         return s
 
 
+class StreamingSession:
+    """Causal real-time lifting: push 2D frames as they arrive, receive the
+    lifted 3D pose per frame with single-window latency.
+
+    The reference handles video only as an offline batch (whole sequence ->
+    non-overlapping windows -> stitch, in_the_wild/utils.py:279-376).  A live
+    source can't wait for the sequence to end, so each pushed frame runs ONE
+    sampler call over the *trailing* ``rf`` frames (replicate-padded at
+    stream start) and emits the pose at window position ``rf - 1 - delay``:
+
+    * ``delay=0`` is fully causal — the newest frame's pose, conditioned on
+      past frames only, available immediately.
+    * ``delay=k`` emits the pose of the frame ``k`` steps in the past, which
+      then has ``k`` frames of future context inside its window (the
+      accuracy/latency knob; the model is trained on full two-sided
+      context, so small delays recover most of the offline quality).
+
+    Noise policy: by default every frame reuses the SAME host-keyed DDIM
+    noise (the request-seed's window-0 draw) — with a fixed draw the sampler
+    is a deterministic function of the window, so consecutive outputs don't
+    jitter from resampling (the streaming-diffusion temporal-consistency
+    trick).  ``per_frame_noise=True`` re-keys by absolute frame index
+    instead (independent draws, reproducible per (seed, t)).
+
+    Concurrent sessions co-batch through the service's dynamic batcher: N
+    live streams cost ~one bucket-N sampler call per frame tick instead of
+    N serialized calls.  Pushing ``F`` buffered frames at once dispatches
+    all F trailing windows as one batch (catch-up is batched, not looped).
+
+    Thread-safe per session (a lock guards the frame history); different
+    sessions never share state.
+    """
+
+    def __init__(self, service: LiftingService, seed: int = 0,
+                 width: Optional[int] = None, height: Optional[int] = None,
+                 delay: int = 0, world: bool = False,
+                 all_hypotheses: bool = False, per_frame_noise: bool = False):
+        rf = service.receptive_field
+        if not 0 <= int(delay) < rf:
+            raise ValueError(
+                f"delay must be in [0, receptive_field-1={rf - 1}]; "
+                f"got {delay}")
+        if (width is None) != (height is None):
+            raise ValueError("width and height must be given together")
+        self.service = service
+        self.seed = int(seed)
+        self.width, self.height = width, height
+        self.delay = int(delay)
+        self.world = bool(world)
+        self.all_hypotheses = bool(all_hypotheses)
+        self.per_frame_noise = bool(per_frame_noise)
+        self._hist: list = []        # last rf normalized frames
+        self._flip_hist: list = []
+        self._t = -1                 # index of the newest pushed frame
+        self._floor: Optional[float] = None   # running min z (world rebase)
+        self._lock = threading.Lock()
+        # fixed-noise mode: one cached draw, identical to a batch request's
+        # window-0 noise — so a full-buffer streaming emit matches lift()
+        self._noise1 = (None if per_frame_noise
+                        else service._request_noise(1, self.seed))
+        with service._stats_lock:
+            service.stats["stream_sessions"] += 1
+
+    @property
+    def frames_pushed(self) -> int:
+        return self._t + 1
+
+    def _window(self, buf: list) -> np.ndarray:
+        """Trailing window over the history, replicate-padded at the front
+        while the stream is shorter than rf (the causal analog of the
+        reference's short-sequence replicate padding)."""
+        rf = self.service.receptive_field
+        if len(buf) >= rf:
+            return np.stack(buf[-rf:])
+        pad = [buf[0]] * (rf - len(buf))
+        return np.stack(pad + buf)
+
+    def push(self, frames: np.ndarray) -> Dict[str, object]:
+        """Push one frame (J, 2) or several (F, J, 2); returns the emitted
+        poses — ``(F, J, 3)``, or ``(F, H, J, 3)`` with ``all_hypotheses`` —
+        plus ``frame_indices``: the absolute frame index each emitted pose
+        corresponds to (``max(0, t - delay)`` for pushed frame t)."""
+        from pafuse_tpu import geometry
+        from pafuse_tpu.utils.backend import host_compute
+
+        svc = self.service
+        cfg = svc.model.cfg
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim == 2:
+            frames = frames[None]
+        if frames.ndim != 3 or frames.shape[-1] != 2 or frames.shape[0] < 1:
+            raise ValueError(
+                f"frames must be (J, 2) or (F, J, 2); got {frames.shape}")
+        if frames.shape[1] != cfg.num_kps:
+            raise ValueError(f"expected {cfg.num_kps} joints, "
+                             f"got {frames.shape[1]}")
+
+        t0 = time.time()
+        with self._lock:
+            try:
+                with host_compute():
+                    if self.width is not None:
+                        frames = np.asarray(
+                            geometry.normalize_screen_coordinates(
+                                frames, w=self.width, h=self.height),
+                            np.float32)
+                    flips = geometry.flip_pose_np(frames,
+                                                  svc.model.flip_permutation)
+
+                rf = svc.receptive_field
+                F = frames.shape[0]
+                w2d, w2d_flip, idx = [], [], []
+                for k in range(F):
+                    self._hist.append(frames[k])
+                    self._flip_hist.append(flips[k])
+                    if len(self._hist) > rf:
+                        self._hist.pop(0)
+                        self._flip_hist.pop(0)
+                    self._t += 1
+                    w2d.append(self._window(self._hist))
+                    w2d_flip.append(self._window(self._flip_hist))
+                    idx.append(max(0, self._t - self.delay))
+                w2d = np.stack(w2d)
+                w2d_flip = np.stack(w2d_flip)
+
+                if self.per_frame_noise:
+                    init, stepn = svc._request_noise(
+                        F, self.seed, salt=0x51AE, base=self._t - F + 1)
+                else:
+                    init = np.repeat(self._noise1[0], F, axis=0)
+                    stepn = np.repeat(self._noise1[1], F, axis=0)
+
+                out = svc._dispatch((w2d, w2d_flip, init, stepn))
+                pos = rf - 1 - self.delay
+                poses = out[:, :, pos]                     # (F, H, J, 3)
+                if self.world:
+                    with host_compute():
+                        poses = np.array(geometry.camera_to_world(
+                            poses, _WORLD_ROT, 0.0))
+                    # causal floor rebase: a stream can't know the global
+                    # min z, so rebase against the running minimum (early
+                    # frames settle once a lower point has been seen)
+                    zmin = float(poses[..., 2].min())
+                    self._floor = (zmin if self._floor is None
+                                   else min(self._floor, zmin))
+                    poses[..., 2] -= self._floor
+                if not self.all_hypotheses:
+                    poses = poses.mean(axis=1)             # (F, J, 3)
+            except Exception:
+                with svc._stats_lock:
+                    svc.stats["errors"] += 1
+                raise
+            with svc._stats_lock:
+                svc.stats["stream_frames"] += F
+        return {
+            "poses": poses,
+            "frame_indices": idx,
+            "num_hypotheses": int(cfg.num_proposals),
+            "latency_ms": round((time.time() - t0) * 1000.0, 2),
+        }
+
+
 # ---------------------------------------------------------------------------
-# HTTP surface (stdlib-only): POST /lift, GET /healthz
+# HTTP surface (stdlib-only): POST /lift, POST/DELETE /stream*, GET /healthz
 # ---------------------------------------------------------------------------
 
 def make_http_server(service: LiftingService, host: str = "127.0.0.1",
-                     port: int = 8012):
+                     port: int = 8012, stream_idle_timeout: float = 600.0):
     """Threading HTTP server over the service.  ``port=0`` binds an ephemeral
-    port (tests); the bound port is ``server.server_address[1]``."""
+    port (tests); the bound port is ``server.server_address[1]``.
+
+    Streaming surface (stateful sessions over the stateless service):
+      POST   /stream          {seed, width, height, delay, world,
+                               all_hypotheses, per_frame_noise} -> {session}
+      POST   /stream/<id>     {keypoints: (J,2) | (F,J,2)} -> {poses, ...}
+      DELETE /stream/<id>     close the session
+    Sessions idle longer than ``stream_idle_timeout`` seconds are evicted
+    lazily (checked whenever a session is created or pushed to).
+    """
+    import itertools
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    sessions: Dict[str, list] = {}      # id -> [StreamingSession, last_used]
+    sessions_lock = threading.Lock()
+    session_ids = itertools.count()
+
+    def _evict_idle():
+        now = time.time()
+        with sessions_lock:
+            for sid in [s for s, (_, used) in sessions.items()
+                        if now - used > stream_idle_timeout]:
+                del sessions[sid]
+
+    def _get_session(sid: str) -> Optional[StreamingSession]:
+        with sessions_lock:
+            entry = sessions.get(sid)
+            if entry is None:
+                return None
+            entry[1] = time.time()
+            return entry[0]
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload,
@@ -427,7 +634,8 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
                     if isinstance(v, bool) or not isinstance(v, (int, float)):
                         continue
                     counter = k in ("requests", "frames", "errors",
-                                    "batch_calls", "batched_requests")
+                                    "batch_calls", "batched_requests",
+                                    "stream_sessions", "stream_frames")
                     lines.append(f"# TYPE pafuse_{k} "
                                  f"{'counter' if counter else 'gauge'}")
                     lines.append(f"pafuse_{k} {v}")
@@ -436,20 +644,52 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
+        def _read_json(self):
+            length = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(length) or b"{}")
+
         def do_POST(self):
-            if self.path != "/lift":
-                self._reply(404, {"error": f"unknown path {self.path}"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
-                kps = np.asarray(req["keypoints"], np.float32)
-                out = service.lift(
-                    kps,
-                    width=req.get("width"), height=req.get("height"),
-                    seed=int(req.get("seed", 0)),
-                    world=bool(req.get("world", False)),
-                    all_hypotheses=bool(req.get("all_hypotheses", False)))
+                if self.path == "/lift":
+                    req = self._read_json()
+                    out = service.lift(
+                        np.asarray(req["keypoints"], np.float32),
+                        width=req.get("width"), height=req.get("height"),
+                        seed=int(req.get("seed", 0)),
+                        world=bool(req.get("world", False)),
+                        all_hypotheses=bool(req.get("all_hypotheses",
+                                                    False)))
+                elif self.path == "/stream":
+                    req = self._read_json()
+                    _evict_idle()
+                    sess = StreamingSession(
+                        service, seed=int(req.get("seed", 0)),
+                        width=req.get("width"), height=req.get("height"),
+                        delay=int(req.get("delay", 0)),
+                        world=bool(req.get("world", False)),
+                        all_hypotheses=bool(req.get("all_hypotheses",
+                                                    False)),
+                        per_frame_noise=bool(req.get("per_frame_noise",
+                                                     False)))
+                    sid = f"s{next(session_ids)}"
+                    with sessions_lock:
+                        sessions[sid] = [sess, time.time()]
+                    self._reply(200, {
+                        "session": sid,
+                        "receptive_field": service.receptive_field,
+                        "delay": sess.delay})
+                    return
+                elif self.path.startswith("/stream/"):
+                    sess = _get_session(self.path[len("/stream/"):])
+                    if sess is None:
+                        self._reply(404, {"error": "unknown or expired "
+                                                   "stream session"})
+                        return
+                    req = self._read_json()
+                    out = sess.push(np.asarray(req["keypoints"], np.float32))
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
             except (KeyError, ValueError, TypeError,
                     json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
@@ -461,6 +701,20 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
             out["shape"] = list(poses.shape)
             out["poses"] = poses.tolist()
             self._reply(200, out)
+
+        def do_DELETE(self):
+            if self.path.startswith("/stream/"):
+                sid = self.path[len("/stream/"):]
+                with sessions_lock:
+                    sess = sessions.pop(sid, (None,))[0]
+                if sess is None:
+                    self._reply(404, {"error": "unknown or expired "
+                                               "stream session"})
+                else:
+                    self._reply(200, {"closed": True,
+                                      "frames": sess.frames_pushed})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
 
         def log_message(self, fmt, *args):  # route through print, not stderr
             print(f"[serve] {self.address_string()} {fmt % args}")

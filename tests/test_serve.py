@@ -249,3 +249,168 @@ def test_build_service_from_config(tmp_path, monkeypatch):
     assert svc2.mesh is not None
     assert svc2.health()["mesh_devices"] == 8
     assert svc2.buckets == (8,)  # 1 and 2 both round up to 8
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessions (causal real-time lifting)
+# ---------------------------------------------------------------------------
+
+def test_streaming_final_emit_matches_batch_lift(service):
+    """After pushing exactly rf frames (fixed noise, delay=0), the last
+    streaming emit must equal the batch lift of the same rf-frame sequence
+    at its final frame: the trailing window IS the batch request's single
+    window, and fixed-mode noise IS the request's window-0 draw."""
+    rng = np.random.RandomState(7)
+    rf = service.receptive_field
+    kps = rng.randn(rf, 134, 2).astype(np.float32)
+
+    sess = serve.StreamingSession(service, seed=3)
+    emits = [sess.push(kps[t])["poses"][0] for t in range(rf)]
+    batch = service.lift(kps, seed=3)["poses"]
+    np.testing.assert_allclose(emits[-1], batch[-1], atol=2e-5)
+    assert sess.frames_pushed == rf
+
+    # delayed emit corresponds to an earlier frame of the same window
+    sess_d = serve.StreamingSession(service, seed=3, delay=2)
+    out = None
+    for t in range(rf):
+        out = sess_d.push(kps[t])
+    assert out["frame_indices"] == [rf - 1 - 2]
+    np.testing.assert_allclose(out["poses"][0], batch[rf - 1 - 2], atol=2e-5)
+
+
+def test_streaming_multi_frame_push_matches_per_frame(service):
+    """Pushing F frames in one call (windows batched into one sampler call)
+    must emit the same poses as pushing them one at a time."""
+    rng = np.random.RandomState(8)
+    kps = rng.randn(6, 134, 2).astype(np.float32)
+
+    one = serve.StreamingSession(service, seed=1)
+    per = np.concatenate([one.push(k)["poses"] for k in kps])
+    many = serve.StreamingSession(service, seed=1).push(kps)
+    np.testing.assert_allclose(many["poses"], per, atol=2e-5)
+    assert many["frame_indices"] == list(range(6))
+
+    # fixed noise: identical trailing windows -> identical poses
+    const = serve.StreamingSession(service, seed=1)
+    a = const.push(kps[0])["poses"]
+    b = const.push(kps[0])["poses"]  # history now [f0, f0] -> same window
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # per-frame noise: same window, different draw per t
+    varied = serve.StreamingSession(service, seed=1, per_frame_noise=True)
+    a = varied.push(kps[0])["poses"]
+    b = varied.push(kps[0])["poses"]
+    assert np.abs(a - b).max() > 0
+    # ...but reproducible for the same (seed, t) in a fresh session
+    again = serve.StreamingSession(service, seed=1, per_frame_noise=True)
+    np.testing.assert_array_equal(again.push(kps[0])["poses"], a)
+
+
+def test_streaming_validation_and_stats(service):
+    with pytest.raises(ValueError):
+        serve.StreamingSession(service, delay=service.receptive_field)
+    with pytest.raises(ValueError):
+        serve.StreamingSession(service, width=640)  # height missing
+    sess = serve.StreamingSession(service)
+    with pytest.raises(ValueError):
+        sess.push(np.zeros((17, 2), np.float32))    # wrong joint count
+    with pytest.raises(ValueError):
+        sess.push(np.zeros((134, 3), np.float32))   # not 2D keypoints
+    before = service.health()["stream_frames"]
+    sess.push(np.zeros((134, 2), np.float32))
+    health = service.health()
+    assert health["stream_frames"] == before + 1
+    assert health["stream_sessions"] >= 1
+
+
+def test_streaming_world_floor_is_causal(service):
+    """World-mode rebases z against the running minimum: z >= 0 always, and
+    the floor only moves down (early frames can't see future minima)."""
+    rng = np.random.RandomState(9)
+    sess = serve.StreamingSession(service, seed=2, world=True,
+                                  all_hypotheses=True)
+    for t in range(4):
+        out = sess.push(rng.randn(134, 2).astype(np.float32))
+        assert float(out["poses"][..., 2].min()) >= -1e-6
+
+
+def test_http_stream_endpoints(service):
+    server = serve.make_http_server(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"{base}{path}", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        made = post("/stream", {"seed": 5, "delay": 1})
+        sid = made["session"]
+        assert made["receptive_field"] == service.receptive_field
+        assert made["delay"] == 1
+
+        kps = np.zeros((134, 2), np.float32).tolist()
+        out = post(f"/stream/{sid}", {"keypoints": kps})
+        assert out["shape"] == [1, 134, 3]
+        assert out["frame_indices"] == [0]
+
+        # multi-frame push through the same session
+        kps3 = np.zeros((3, 134, 2), np.float32).tolist()
+        out = post(f"/stream/{sid}", {"keypoints": kps3})
+        assert out["shape"] == [3, 134, 3]
+
+        # close; a second delete and a push to the dead session 404
+        req = urllib.request.Request(f"{base}/stream/{sid}", method="DELETE")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            closed = json.loads(r.read())
+        assert closed == {"closed": True, "frames": 4}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(f"/stream/{sid}", {"keypoints": kps})
+        assert ei.value.code == 404
+
+        # malformed create -> 400, server stays alive
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/stream", {"delay": 99})
+        assert ei.value.code == 400
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_stream_idle_eviction(service):
+    server = serve.make_http_server(service, port=0, stream_idle_timeout=0.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"{base}{path}", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        sid = post("/stream", {})["session"]
+        import time as _time
+        _time.sleep(0.01)
+        post("/stream", {})  # creation sweeps idle sessions
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(f"/stream/{sid}",
+                 {"keypoints": np.zeros((134, 2), np.float32).tolist()})
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--buckets", default=None,
                     help="comma list; default 1,4 (covers 1 client and "
                          "co-batched rows)")
+    ap.add_argument("--stream", action="store_true",
+                    help="measure streaming sessions instead: per-frame "
+                         "emit latency (1 stream) and aggregate emit rate "
+                         "at --clients concurrent streams")
     a = ap.parse_args()
 
     import numpy as np
@@ -78,6 +82,48 @@ def main():
     results = {"model": "flagship" if a.flagship else "tiny",
                "frames_per_request": frames, "buckets": buckets,
                "clients": a.clients}
+
+    if a.stream:
+        # streaming: per-frame causal emits; co-batching across streams is
+        # the scaling story, so buckets should cover 1..clients rows
+        from concurrent.futures import ThreadPoolExecutor
+        svc = serve.LiftingService(model, params, buckets=buckets,
+                                   dynamic_batching=True)
+        t0 = time.time()
+        svc.warmup()
+        results["warmup_seconds"] = round(time.time() - t0, 1)
+
+        sess = serve.StreamingSession(svc, seed=0)
+        lat = []
+        for t in range(a.requests):
+            t1 = time.perf_counter()
+            sess.push(kps[t % frames])
+            lat.append((time.perf_counter() - t1) * 1e3)
+        results["stream_frame_ms"] = {
+            "p50": round(percentile(lat, 50), 1),
+            "p95": round(percentile(lat, 95), 1)}
+        results["stream_emits_per_s_1"] = round(
+            1e3 / (sum(lat) / len(lat)), 2)
+
+        calls0 = svc.stats["batch_calls"]
+
+        def run_stream(i):
+            s = serve.StreamingSession(svc, seed=i)
+            for t in range(a.requests):
+                s.push(kps[t % frames])
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(a.clients) as ex:
+            list(ex.map(run_stream, range(a.clients)))
+        dt = time.perf_counter() - t0
+        results["stream_emits_per_s_concurrent"] = round(
+            a.clients * a.requests / dt, 2)
+        results["coalesced_calls"] = int(svc.stats["batch_calls"] - calls0)
+        results["stream_scaling"] = round(
+            results["stream_emits_per_s_concurrent"]
+            / results["stream_emits_per_s_1"], 2)
+        svc._batcher.stop()
+        print(json.dumps(results))
+        return
 
     for batching in (True, False):
         svc = serve.LiftingService(model, params, buckets=buckets,
