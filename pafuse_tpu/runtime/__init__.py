@@ -125,25 +125,42 @@ class PrefetchingLoader:
 
     def next_epoch(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         error = []
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandons the epoch
+            # (e.g. quick-debug breaks after one batch) — an unconditional
+            # q.put would leave this thread blocked forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self.sampler.next_epoch():
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # surface in consumer
                 error.append(e)
             finally:
-                q.put(self._SENTINEL)
+                put(self._SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join()
         if error:
             raise error[0]
 

@@ -81,3 +81,28 @@ def test_prefetching_loader_propagates_errors():
     assert next(it) == 1
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_prefetching_loader_abandoned_epoch_stops_producer():
+    """Abandoning an epoch mid-way (the quick-debug pattern) must not leak
+    the producer thread blocked in q.put — it should exit once the consumer
+    closes the generator."""
+    import threading
+    import time
+
+    class Endless:
+        def next_epoch(self):
+            i = 0
+            while True:
+                yield i
+                i += 1
+
+    before = threading.active_count()
+    loader = runtime.PrefetchingLoader(Endless(), depth=2)
+    it = loader.next_epoch()
+    assert next(it) == 0
+    it.close()  # GeneratorExit at the yield -> finally signals the producer
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
