@@ -152,6 +152,11 @@ class D3DP:
                                     cfg.cs, cfg.depth, cfg.drop_path_rate,
                                     drop_rate=cfg.dropout,
                                     attn_drop_rate=cfg.attn_dropout)
+        if packed_parts and cfg.part_based:
+            # packed execution is a measured negative result (8.3 vs 13.4
+            # f/s at W=4, PARITY.md) retained as A/B evidence only
+            from pafuse_tpu.ops.attention import require_experimental
+            require_experimental("D3DP(packed_parts=True)")
         self.model = PartModel(specs, packed=packed_parts and cfg.part_based)
         if flip_permutation is not None:
             self.flip_permutation = np.asarray(flip_permutation, np.int32)

@@ -185,6 +185,7 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                        return_predictions: bool = False,
                        noise_table=None,
                        sequence_batches: bool = False,
+                       timings: Optional[dict] = None,
                        ) -> Tuple[EvalAccumulator, Optional[np.ndarray]]:
     """Evaluate a list of (cam, pose_3d, pose_2d) sequences.
 
@@ -222,7 +223,13 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     (tools/check_parity.py) must match the reference's per-sequence
     sub-batching; the default pooled mode trades that fuzziness for fewer
     padded rows and is the production path.
+
+    ``timings`` (optional) receives a wall-clock phase breakdown —
+    host_prep / transfer / dispatch / drain seconds plus window counts —
+    used by tools/profile_pipeline.py to attribute the pipeline-vs-sampler
+    gap.  Dispatch is asynchronous, so device wait shows up in ``drain``.
     """
+    import time as _time
     part_based = model.cfg.part_based
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     step = get_eval_step(model, num_proposals, sampling_timesteps,
@@ -264,6 +271,7 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     pending = None
 
     def _drain(p):
+        t0 = _time.perf_counter()
         metrics_dev, weight, cur = p
         metrics = {k: np.asarray(v) for k, v in metrics_dev.items()}
         pred_wb = metrics.pop("_pred_wb", None)
@@ -285,10 +293,14 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
         if return_predictions and pred_wb is not None:
             all_preds.append(pred_wb[:cur])
         acc.add(metrics, weight)
+        if timings is not None:
+            timings["drain"] = (timings.get("drain", 0.0)
+                                + _time.perf_counter() - t0)
 
     from pafuse_tpu.utils.backend import host_compute
 
     # ---- host pass: window every sequence, pool the windows ---------------
+    t_prep = _time.perf_counter()
     parts_2d, parts_2d_flip, parts_gt, parts_traj, parts_cam = [], [], [], [], []
     use_tta = bool(getattr(model.cfg, "test_time_augmentation", True))
     for cam, seq_3d, seq_2d in sequences:
@@ -314,6 +326,8 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
         parts_gt.append(gt_parts)
         parts_traj.append(traj)
         parts_cam.append(np.tile(cam_vec, (w2d.shape[0], 1)))
+    if timings is not None:
+        timings["host_prep"] = _time.perf_counter() - t_prep
     if not parts_2d:
         return (acc, p2_acc) if collect_p2 else (acc, None)
 
@@ -353,6 +367,7 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
         # one transfer per modality per group; per-batch slices below are
         # device-side indexing, not transfers
         sel = lambda lst: [lst[i] for i in g]  # noqa: E731
+        t_xfer = _time.perf_counter()
         d2d = jnp.asarray(pooled(sel(parts_2d)))
         d2d_flip = jnp.asarray(pooled(sel(parts_2d_flip)))
         dgt = jnp.asarray(pooled(sel(parts_gt)))
@@ -361,6 +376,12 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
         masks = np.ones((n_batches, bs), np.float32)
         masks[-1, n_windows - (n_batches - 1) * bs:] = 0.0
         dmask = jnp.asarray(masks)
+        if timings is not None:
+            timings["transfer"] = (timings.get("transfer", 0.0)
+                                   + _time.perf_counter() - t_xfer)
+            timings["windows"] = timings.get("windows", 0) + n_windows
+            timings["padded_rows"] = (timings.get("padded_rows", 0)
+                                      + n_batches * bs - n_windows)
 
         hinit = hstep = None
         if noise_table is not None:
@@ -374,6 +395,7 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
 
         for b_i in range(n_batches):
             cur = min(bs, n_windows - b_i * bs)
+            t_disp = _time.perf_counter()
             if noise_table is not None:
                 metrics_dev = step(params, subs[b_count], d2d[b_i],
                                    d2d_flip[b_i], dgt[b_i], dtraj[b_i],
@@ -384,6 +406,10 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
                 metrics_dev = step(params, subs[b_count], d2d[b_i],
                                    d2d_flip[b_i], dgt[b_i], dtraj[b_i],
                                    dcam[b_i], dmask[b_i])
+            if timings is not None:
+                timings["dispatch"] = (timings.get("dispatch", 0.0)
+                                       + _time.perf_counter() - t_disp)
+                timings["batches"] = timings.get("batches", 0) + 1
             b_count += 1
             if pending is not None:
                 _drain(pending)

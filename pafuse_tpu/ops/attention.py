@@ -43,6 +43,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Experimental-path support tier (round-4 VERDICT #6).  The block_t / layer
+# kernels, the heads attention policy and packed-parts execution are RETAINED
+# A/B EVIDENCE — honestly-measured negative results (docs/ROADMAP.md), kept
+# so the measurements stay reproducible — not supported execution paths.
+# They sit behind one switch: ``tpu.experimental_kernels=true`` on the CLIs
+# (which sets the env var) or ``PAFUSE_EXPERIMENTAL_KERNELS=1`` directly.
+# ---------------------------------------------------------------------------
+
+def experimental_kernels_enabled() -> bool:
+    import os
+    return os.environ.get("PAFUSE_EXPERIMENTAL_KERNELS", "").lower() in (
+        "1", "true", "on", "yes")
+
+
+def require_experimental(name: str) -> None:
+    """Raise unless the experimental-kernel tier is explicitly enabled."""
+    if not experimental_kernels_enabled():
+        raise ValueError(
+            f"{name} is an EXPERIMENTAL path: a retained negative-result "
+            "A/B variant (docs/ROADMAP.md), not a supported execution path. "
+            "Set tpu.experimental_kernels=true (CLI) or "
+            "PAFUSE_EXPERIMENTAL_KERNELS=1 to run it anyway.")
+
+
 def _pallas_usable() -> bool:
     """Single decline policy for every Pallas kernel wrapper: pallas must be
     importable and the default backend must not be CPU (Mosaic kernels
@@ -422,9 +447,16 @@ def pallas_block(block_params, outer_norm, x, num_heads: int, compute_dtype,
 def select_block_fn(use_pallas="auto", *, train: bool = False):
     """Fused whole-block kernel selection (eval only; training has no kernel
     VJP).  ``auto`` selects it: honest back-to-back bench at P=20,T=10 is
-    40.2 f/s (block kernel) vs 29.9 (attention kernel) vs 14.0 (XLA)."""
+    40.2 f/s (block kernel) vs 29.9 (attention kernel) vs 14.0 (XLA).
+
+    The ``PAFUSE_ATTN_POLICY=heads`` in-kernel attention policy is a
+    documented negative result (88.5 vs 56.4 ms/call at the flagship face
+    tile) and requires the experimental tier."""
     if train:
         return None
+    import os as _os
+    if _os.environ.get("PAFUSE_ATTN_POLICY", "auto") == "heads":
+        require_experimental("PAFUSE_ATTN_POLICY=heads")
     return (pallas_block
             if str(use_pallas).lower() in ("block", "block_t", "auto")
             else None)
@@ -538,13 +570,15 @@ def pallas_block_temporal(block_params, outer_norm, x, num_heads: int,
 
 
 def select_block_t_fn(use_pallas="auto", *, train: bool = False):
-    """Axis-aware temporal block kernel selection (eval only).  Opt-in via
-    ``tpu.use_pallas=block_t`` while under measurement; see docs/ROADMAP.md
-    for the A/B record."""
+    """Axis-aware temporal block kernel selection (eval only).  A measured
+    negative result (33.8 vs 32.3 ms/call, docs/ROADMAP.md) retained as A/B
+    evidence — requires the experimental tier."""
     if train:
         return None
-    return (pallas_block_temporal
-            if str(use_pallas).lower() == "block_t" else None)
+    if str(use_pallas).lower() != "block_t":
+        return None
+    require_experimental("tpu.use_pallas=block_t")
+    return pallas_block_temporal
 
 
 # ---------------------------------------------------------------------------
@@ -661,7 +695,10 @@ def select_layer_fn(use_pallas="auto", *, train: bool = False):
     at ~1, and the resulting small per-program matmuls cost more than the
     HBM transposes the fusion saves (~0.3 ms/layer at these sizes).
     Documented negative result; kept for explicit ``tpu.use_pallas=layer``
-    experiments."""
+    experiments — requires the experimental tier."""
     if train:
         return None
-    return pallas_layer if str(use_pallas).lower() == "layer" else None
+    if str(use_pallas).lower() != "layer":
+        return None
+    require_experimental("tpu.use_pallas=layer")
+    return pallas_layer

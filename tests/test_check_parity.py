@@ -101,3 +101,51 @@ def test_harness_reference_log_diff(artifacts):
         "--reference-log", str(bad_log), "--out", str(out3)])
     assert rc == 3
     assert "**NO**" in out3.read_text()
+
+
+def test_trials_envelope_and_widened_budget(artifacts):
+    """--trials N writes a per-metric sampling-variance envelope and the
+    verdict widens each budget by 2*sqrt(2)*sigma (round-4 pre-registered
+    decision rule for real-data runs whose torch init noise can't be
+    matched)."""
+    import json
+    import check_parity
+    tmp, data_dir, bin_path = artifacts
+    env_path = tmp / "envelope.json"
+    out1 = tmp / "env_run.md"
+    rc = check_parity.main([
+        "--data-dir", str(data_dir), "--checkpoint", str(bin_path),
+        "--frames", "9", "--dep", "1", "--timestep", "20",
+        "--op-points", "2x1", "--impl-windows", "0",
+        "--trials", "3", "--envelope-out", str(env_path),
+        "--out", str(out1)])
+    assert rc == 0
+    env = json.loads(env_path.read_text())
+    assert "P2T1" in env
+    ent = env["P2T1"]["J_Best"]
+    assert ent["n"] == 3 and ent["std"] >= 0.0
+    assert "Sampling-variance envelope" in out1.read_text()
+
+    # a reference log offset by (0.5 + sqrt(2)*sigma) per metric: outside
+    # the bare budget but inside the widened one -> must PASS with envelope
+    import re
+    vals = dict(re.findall(r"\| (\w+) \| ([0-9.]+) \|", out1.read_text()))
+    sig = {k: env["P2T1"][k]["std"] for k in env["P2T1"]}
+    ref_log = tmp / "h36m_test_log_H2_K1.txt"
+    ref_log.write_text("\n".join(
+        "step 0 Protocol #1   (MPJPE) action-wise average "
+        f"{k}: {float(v) + 0.5 + 2 ** 0.5 * sig.get(k, 0.0):.6f} mm"
+        for k, v in vals.items() if k in sig) + "\n")
+    out2 = tmp / "env_diff.md"
+    rc = check_parity.main([
+        "--data-dir", str(data_dir), "--checkpoint", str(bin_path),
+        "--frames", "9", "--dep", "1", "--timestep", "20",
+        "--op-points", "2x1", "--impl-windows", "0",
+        "--envelope-out", str(env_path),
+        "--reference-log", str(ref_log), "--out", str(out2)])
+    text = out2.read_text()
+    # metrics with nonzero sigma sit inside the widened budget; with the
+    # bare rule the +0.5+eps offsets would all FAIL
+    if all(s > 1e-6 for s in sig.values()):
+        assert rc == 0 and "PASS" in text
+    assert "budget (mm)" in text

@@ -148,25 +148,43 @@ def test_kernel_fns_decline_on_cpu(params, rng):
     x3d = jnp.asarray(rng.randn(2, 9, 7, 3), jnp.float32)
     t = jnp.asarray([3, 500])
     base = mixste.mixste_forward(params, CFG, x2d, x3d, t)
-    for kwargs in ({"attention_fn": att.select_attention_fn("true")},
-                   {"block_fn": att.select_block_fn("block")},
-                   {"layer_fn": att.select_layer_fn("layer")},
-                   {"block_t_fn": att.select_block_t_fn("block_t")}):
-        out = mixste.mixste_forward(params, CFG, x2d, x3d, t, **kwargs)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
-                                   rtol=0, atol=1e-6)
-    # selection rules: layer kernel is opt-in, block kernel is the auto
-    # default, training never gets an eval kernel
-    assert att.select_layer_fn("auto") is None
-    assert att.select_block_fn("auto") is att.pallas_block
-    assert att.select_block_fn("auto", train=True) is None
-    assert att.select_layer_fn("layer", train=True) is None
-    # block_t is opt-in while under measurement; block_t mode keeps the
-    # spatial block kernel alongside the temporal-axis-aware one
-    assert att.select_block_t_fn("auto") is None
-    assert att.select_block_t_fn("block_t") is att.pallas_block_temporal
-    assert att.select_block_t_fn("block_t", train=True) is None
-    assert att.select_block_fn("block_t") is att.pallas_block
+    import os
+    os.environ["PAFUSE_EXPERIMENTAL_KERNELS"] = "1"  # unlock layer/block_t
+    try:
+        for kwargs in ({"attention_fn": att.select_attention_fn("true")},
+                       {"block_fn": att.select_block_fn("block")},
+                       {"layer_fn": att.select_layer_fn("layer")},
+                       {"block_t_fn": att.select_block_t_fn("block_t")}):
+            out = mixste.mixste_forward(params, CFG, x2d, x3d, t, **kwargs)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                       rtol=0, atol=1e-6)
+        # selection rules: layer kernel is opt-in, block kernel is the auto
+        # default, training never gets an eval kernel
+        assert att.select_layer_fn("auto") is None
+        assert att.select_block_fn("auto") is att.pallas_block
+        assert att.select_block_fn("auto", train=True) is None
+        assert att.select_layer_fn("layer", train=True) is None
+        # block_t is opt-in while under measurement; block_t mode keeps the
+        # spatial block kernel alongside the temporal-axis-aware one
+        assert att.select_block_t_fn("auto") is None
+        assert att.select_block_t_fn("block_t") is att.pallas_block_temporal
+        assert att.select_block_t_fn("block_t", train=True) is None
+        assert att.select_block_fn("block_t") is att.pallas_block
+    finally:
+        del os.environ["PAFUSE_EXPERIMENTAL_KERNELS"]
+    # without the experimental tier the negative-result paths refuse loudly
+    # (round-4 support-tier contract, README "Support tiers")
+    import pytest
+    for bad in (lambda: att.select_layer_fn("layer"),
+                lambda: att.select_block_t_fn("block_t")):
+        with pytest.raises(ValueError, match="EXPERIMENTAL"):
+            bad()
+    os.environ["PAFUSE_ATTN_POLICY"] = "heads"
+    try:
+        with pytest.raises(ValueError, match="EXPERIMENTAL"):
+            att.select_block_fn("auto")
+    finally:
+        del os.environ["PAFUSE_ATTN_POLICY"]
 
 
 # ---------------------------------------------------------------------------

@@ -19,9 +19,27 @@ from pafuse_tpu.models.parts import PartModel, build_part_specs
 B, F = 2, 9
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _experimental_tier():
+    """Packed execution is a retained negative result behind the
+    experimental switch (README "Support tiers")."""
+    import os
+    os.environ["PAFUSE_EXPERIMENTAL_KERNELS"] = "1"
+    yield
+    del os.environ["PAFUSE_EXPERIMENTAL_KERNELS"]
+
+
+def test_packed_requires_experimental_tier(monkeypatch):
+    monkeypatch.delenv("PAFUSE_EXPERIMENTAL_KERNELS", raising=False)
+    cfg = D3DPConfig(frames=F, timesteps=20, sampling_timesteps=2,
+                     num_proposals=2, depth=2)
+    with pytest.raises(ValueError, match="EXPERIMENTAL"):
+        D3DP(cfg, packed_parts=True)
+
+
 @pytest.fixture(scope="module", params=[True, False],
                 ids=["merged_hands", "split_hands"])
-def models(request):
+def models(request, _experimental_tier):
     merge = request.param
     cfg = D3DPConfig(frames=F, timesteps=20, sampling_timesteps=2,
                      num_proposals=2, depth=2, merge_hands=merge)

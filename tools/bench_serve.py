@@ -39,7 +39,15 @@ def main():
                          "op-point (P=5, T=2, rf=27)")
     ap.add_argument("--frames", type=int, default=None,
                     help="request length in frames (default: one window)")
+    ap.add_argument("--sizes", default=None,
+                    help="comma list of request sizes (frames) for the "
+                         "sequential-latency ladder, e.g. 27,108,270 "
+                         "(default: just --frames)")
     ap.add_argument("--clients", type=int, default=4)
+    ap.add_argument("--clients-sweep", default=None,
+                    help="comma list of concurrency levels for the batched "
+                         "throughput/latency sweep, e.g. 1,4,16 "
+                         "(default: just --clients)")
     ap.add_argument("--requests", type=int, default=24,
                     help="total requests per concurrency measurement")
     ap.add_argument("--buckets", default=None,
@@ -125,6 +133,27 @@ def main():
         print(json.dumps(results))
         return
 
+    from concurrent.futures import ThreadPoolExecutor
+    sizes = ([int(s) for s in a.sizes.split(",")] if a.sizes else [frames])
+    sweep = ([int(c) for c in a.clients_sweep.split(",")]
+             if a.clients_sweep else [a.clients])
+
+    def concurrent_run(svc, n_clients, req_frames):
+        """Run --requests lifts at n_clients concurrency; return
+        (req/s, per-request latency list ms)."""
+        req_kps = rng.randn(req_frames, cfg.num_kps, 2).astype(np.float32)
+        lat = []
+
+        def one(i):
+            t1 = time.perf_counter()
+            svc.lift(req_kps, seed=i)
+            lat.append((time.perf_counter() - t1) * 1e3)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n_clients) as ex:
+            list(ex.map(one, range(a.requests)))
+        dt = time.perf_counter() - t0
+        return round(a.requests / dt, 2), lat
+
     for batching in (True, False):
         svc = serve.LiftingService(model, params, buckets=buckets,
                                    dynamic_batching=batching)
@@ -133,28 +162,48 @@ def main():
         if batching:
             results["warmup_seconds"] = round(time.time() - t0, 1)
 
-        # sequential latency (batching has no effect without concurrency)
-        lat = []
-        for i in range(min(a.requests, 10)):
-            t0 = time.perf_counter()
-            svc.lift(kps, seed=i)
-            lat.append((time.perf_counter() - t0) * 1e3)
-        if batching:
-            results["sequential_ms"] = {
-                "p50": round(percentile(lat, 50), 1),
-                "p95": round(percentile(lat, 95), 1)}
+            # sequential latency ladder (batching has no effect w/o
+            # concurrency): one warm service, every request size
+            results["sequential_ms"] = {}
+            for size in sizes:
+                req_kps = rng.randn(size, cfg.num_kps,
+                                    2).astype(np.float32)
+                lat = []
+                for i in range(min(a.requests, 10)):
+                    t1 = time.perf_counter()
+                    svc.lift(req_kps, seed=i)
+                    lat.append((time.perf_counter() - t1) * 1e3)
+                results["sequential_ms"][str(size)] = {
+                    "p50": round(percentile(lat, 50), 1),
+                    "p95": round(percentile(lat, 95), 1),
+                    "frames_per_s": round(
+                        size * 1e3 / (sum(lat) / len(lat)), 1)}
 
-        # concurrent throughput
-        from concurrent.futures import ThreadPoolExecutor
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(a.clients) as ex:
-            list(ex.map(lambda i: svc.lift(kps, seed=i), range(a.requests)))
-        dt = time.perf_counter() - t0
-        key = "batched" if batching else "serialized"
-        results[f"{key}_req_per_s"] = round(a.requests / dt, 2)
-        if batching:
+            # concurrency sweep (co-batching on): throughput AND
+            # per-request latency percentiles per level
+            calls_before_sweep = int(svc.stats["batch_calls"])
+            results["batched_sweep"] = {}
+            for n_clients in sweep:
+                rps, lat = concurrent_run(svc, n_clients, frames)
+                results["batched_sweep"][str(n_clients)] = {
+                    "req_per_s": rps,
+                    "p50_ms": round(percentile(lat, 50), 1),
+                    "p95_ms": round(percentile(lat, 95), 1)}
+            results["batched_req_per_s"] = (
+                results["batched_sweep"][str(a.clients)]["req_per_s"]
+                if str(a.clients) in results["batched_sweep"]
+                else list(results["batched_sweep"].values())[-1]
+                ["req_per_s"])
+            # device calls consumed by the whole sweep: co-batching shows
+            # up as calls << requests (each call carries several requests)
             results["coalesced_calls"] = int(svc.stats["batch_calls"]
-                                             - len(buckets))  # minus warmup
+                                             - calls_before_sweep)
+        else:
+            # co-batching OFF: one A/B point at --clients
+            rps, lat = concurrent_run(svc, a.clients, frames)
+            results["serialized_req_per_s"] = rps
+            results["serialized_p50_ms"] = round(percentile(lat, 50), 1)
+            results["serialized_p95_ms"] = round(percentile(lat, 95), 1)
         if svc._batcher is not None:
             svc._batcher.stop()
 

@@ -83,6 +83,18 @@ def parse_args(argv=None):
                         "(action_noise_tables) so a reference run patched to "
                         "consume the same tables is bit-aligned — turns the "
                         "metric diff into a pure pipeline-equality check")
+    p.add_argument("--trials", type=int, default=0,
+                   help="measure the SAMPLING-VARIANCE ENVELOPE: run each "
+                        "op-point N extra times with independent DDIM noise "
+                        "seeds (no injection) and record per-metric "
+                        "mean±stddev to --envelope-out.  Pre-registers the "
+                        "interpretation of a real-data run whose torch-side "
+                        "initial noise can never be matched "
+                        "(diffusionpose.py:283)")
+    p.add_argument("--envelope-out", default="PARITY_ENVELOPE.json",
+                   help="where --trials writes the envelope; also read at "
+                        "verdict time to widen the per-metric budget by "
+                        "2*sqrt(2)*sigma (the pre-registered decision rule)")
     p.add_argument("--out", default="PARITY_REAL.md")
     # model shape overrides (defaults = flagship); lets tests exercise the
     # harness end-to-end with a tiny fabricated checkpoint
@@ -373,13 +385,13 @@ def main(argv=None):
         ref_logs[pt] = path
 
     all_actions, _ = collect_actions(dataset, subjects)
-    for (P, T) in op_points:
-        print(f"Evaluating S8 at P={P}, T={T}"
-              + (" (injected noise)" if a.inject_noise else "") + " ...")
-        pin = ev.pinned_window_batch(
-            [kp for s in subjects for act in keypoints[s]
-             for kp in keypoints[s][act]], a.frames,
-            sub_batch=a.batch_size)
+    pin = ev.pinned_window_batch(
+        [kp for s in subjects for act in keypoints[s]
+         for kp in keypoints[s][act]], a.frames,
+        sub_batch=a.batch_size)
+
+    def run_s8(P, T, inject_noise, rng_seed=0):
+        """One full S8 action-wise evaluation -> {metric: final-step mm}."""
         per_action = {}
         # 'highest' matmul precision: strict-parity evaluation (TPU f32
         # dots otherwise decompose to bf16 passes; see PARITY.md)
@@ -388,7 +400,7 @@ def main(argv=None):
                 cams, p3d, p2d = h3wb.fetch_actions(
                     all_actions[action_key], keypoints, dataset)
                 noise = None
-                if a.inject_noise:
+                if inject_noise:
                     n_win = sum(window_count(np.squeeze(k).shape[0], a.frames)
                                 for k in p2d)
                     noise = action_noise_tables(
@@ -398,6 +410,7 @@ def main(argv=None):
                 # reference's per-sequence sub-batching for strict parity
                 acc, _ = ev.evaluate_sequences(
                     model, params, zip(cams, p3d, p2d), None,
+                    rng=jax.random.PRNGKey(rng_seed),
                     receptive_field=a.frames, num_proposals=P,
                     sampling_timesteps=T, window_batch=pin,
                     noise_table=noise, sequence_batches=True)
@@ -409,9 +422,52 @@ def main(argv=None):
         for agg in ("P_Best_PB", "P_Agg_PB"):   # (L+R)/2 composite
             avg[f"{agg}_hands"] = 0.5 * (avg[f"{agg}_left_hand"]
                                          + avg[f"{agg}_right_hand"])
+        return avg
+
+    # sampling-variance envelope: per-metric stddev over independent-seed
+    # runs (no injection).  Loaded (if previously measured) to widen the
+    # verdict budget; (re)measured when --trials > 0.
+    envelope = {}
+    if os.path.exists(a.envelope_out):
+        with open(a.envelope_out) as f:
+            envelope = json.load(f)
+
+    for (P, T) in op_points:
+        op_key = f"P{P}T{T}"
+        if a.trials > 0:
+            print(f"Envelope at P={P}, T={T}: {a.trials} independent-seed "
+                  "trials ...")
+            trial_avgs = [run_s8(P, T, inject_noise=False,
+                                 rng_seed=1000 + t)
+                          for t in range(a.trials)]
+            env = {k: {"mean": float(np.mean([m[k] for m in trial_avgs])),
+                       "std": float(np.std([m[k] for m in trial_avgs],
+                                           ddof=1)),
+                       "n": a.trials}
+                   for k in trial_avgs[0]}
+            envelope[op_key] = env
+            with open(a.envelope_out, "w") as f:
+                json.dump(envelope, f, indent=2, sort_keys=True)
+            print(f"  wrote {a.envelope_out} [{op_key}]")
+
+        print(f"Evaluating S8 at P={P}, T={T}"
+              + (" (injected noise)" if a.inject_noise else "") + " ...")
+        avg = run_s8(P, T, a.inject_noise)
 
         lines += [f"## Op-point P={P}, T={T} (S8, action-wise average, "
                   "final DDIM step)", ""]
+        if op_key in envelope:
+            env = envelope[op_key]
+            lines += ["Sampling-variance envelope "
+                      f"(n={next(iter(env.values()))['n']} independent-seed "
+                      "runs; pre-registered decision rule: "
+                      "|delta| <= budget + 2*sqrt(2)*sigma — the sqrt(2) "
+                      "because a cross-framework diff subtracts TWO "
+                      "independent noise draws):", "",
+                      "| metric | mean (mm) | sigma (mm) |", "|---|---|---|"]
+            lines += [f"| {k} | {v['mean']:.3f} | {v['std']:.4f} |"
+                      for k, v in sorted(env.items())]
+            lines.append("")
         if a.inject_noise:
             lines += ["_Injected-noise mode: both pipelines consumed "
                       "identical per-window DDIM noise tables, so any "
@@ -424,16 +480,31 @@ def main(argv=None):
             k for k in avg if k not in METRICS
             and (ref_vals is None or k in ref_vals))
         if ref_vals:
+            env = envelope.get(op_key, {})
             lines += ["| metric | ours (mm) | reference (mm) | delta (mm) | "
-                      "within ±{:.1f}mm |".format(a.budget_mm),
-                      "|---|---|---|---|---|"]
+                      "budget (mm) | within |",
+                      "|---|---|---|---|---|---|"]
             for k in compare:
                 d = avg[k] - ref_vals.get(k, float("nan"))
-                within = abs(d) <= a.budget_mm
+                # pre-registered rule: implementation budget plus the
+                # two-sided ~95% envelope of a difference of two
+                # INDEPENDENT sampling-noise draws (ours vs the reference's
+                # unmatchable torch.randn init, diffusionpose.py:283)
+                # injected-noise runs are bit-aligned: no sampling variance
+                # to excuse, keep the bare implementation budget
+                sigma = (0.0 if a.inject_noise
+                         else env.get(k, {}).get("std", 0.0))
+                budget_k = a.budget_mm + 2.0 * (2.0 ** 0.5) * sigma
+                within = abs(d) <= budget_k
                 ok &= within
                 lines.append(f"| {k} | {avg[k]:.3f} | "
                              f"{ref_vals.get(k, float('nan')):.3f} | "
-                             f"{d:+.3f} | {'yes' if within else '**NO**'} |")
+                             f"{d:+.3f} | {budget_k:.3f} | "
+                             f"{'yes' if within else '**NO**'} |")
+            if not env and not a.inject_noise:
+                lines += ["", "_No sampling-variance envelope for this "
+                          "op-point (run --trials N first); using the bare "
+                          f"±{a.budget_mm:.1f} mm budget._"]
         else:
             lines += ["| metric | ours (mm) |", "|---|---|"]
             lines += [f"| {k} | {avg[k]:.3f} |" for k in compare]
