@@ -82,13 +82,57 @@ class _DynamicBatcher:
         self._q.put((arrays, f))
         return f
 
+    def _resolve(self, pending):
+        """Read back a dispatched batch and scatter rows to its futures."""
+        svc = self._service
+        dev_out, batch, t_disp = pending
+        try:
+            out = np.asarray(dev_out)  # the only sync point
+            now = time.time()
+            with svc._stats_lock:
+                svc.stats["batch_calls"] += 1
+                svc.stats["batched_requests"] += len(batch)
+                # device occupancy under pipelining: count only the
+                # non-overlapped interval since the later of (this batch's
+                # dispatch, the previous batch's completion)
+                svc.stats["busy_seconds"] += now - max(
+                    t_disp, getattr(self, "_last_done", 0.0))
+            self._last_done = now
+            ofs = 0
+            for arrs, f in batch:
+                w = arrs[0].shape[0]
+                f.set_result(out[ofs:ofs + w])
+                ofs += w
+        except Exception as e:
+            for _, f in batch:
+                if not f.done():
+                    f.set_exception(e)
+
     def _loop(self):
         import queue
         svc = self._service
         max_rows = max(svc.buckets)
+        # One-deep pipeline (round 4): the readback of batch i is the only
+        # sync point, and it happens AFTER batch i+1 is drained, concatenated
+        # and dispatched — otherwise the device idles a full tunnel
+        # round-trip between co-batched calls and co-batching LOSES to the
+        # accidental pipelining of concurrent per-request threads
+        # (measured: 7.5 vs 8.9 req/s at 4 clients, flagship P=5,T=2).
+        pending = None
         while True:
-            item = self._q.get()
+            if pending is None:
+                item = self._q.get()
+            else:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    # nothing queued: drain the in-flight batch, then block
+                    self._resolve(pending)
+                    pending = None
+                    continue
             if item is None:
+                if pending is not None:
+                    self._resolve(pending)
                 # fail anything that raced in behind the stop sentinel
                 # rather than leaving its caller blocked forever
                 while True:
@@ -117,16 +161,27 @@ class _DynamicBatcher:
                 else:
                     arrays = tuple(
                         np.concatenate([b[0][i] for b in batch])
-                        for i in range(4))
-                out = svc._device_run(*arrays)
-                with svc._stats_lock:
-                    svc.stats["batch_calls"] += 1
-                    svc.stats["batched_requests"] += len(batch)
-                ofs = 0
-                for arrs, f in batch:
-                    w = arrs[0].shape[0]
-                    f.set_result(out[ofs:ofs + w])
-                    ofs += w
+                        for i in range(len(batch[0][0])))
+                if arrays[0].shape[0] > max_rows:
+                    # oversized single request: multi-chunk path (its own
+                    # internal pipeline); resolve the in-flight batch first
+                    if pending is not None:
+                        self._resolve(pending)
+                        pending = None
+                    out = svc._device_run(*arrays)
+                    with svc._stats_lock:
+                        svc.stats["batch_calls"] += 1
+                        svc.stats["batched_requests"] += len(batch)
+                    ofs = 0
+                    for arrs, f in batch:
+                        w = arrs[0].shape[0]
+                        f.set_result(out[ofs:ofs + w])
+                        ofs += w
+                else:
+                    dev_out = svc._device_dispatch(*arrays)
+                    if pending is not None:
+                        self._resolve(pending)
+                    pending = (dev_out, batch, time.time())
             except Exception as e:  # propagate to every waiting request
                 for _, f in batch:
                     if not f.done():
@@ -158,15 +213,30 @@ class LiftingService:
     max_frames: per-request frame cap (request noise/result buffers are
         proportional to request length; the cap keeps one oversized or
         malicious request from exhausting host memory).
+    noise_mode: ``"host"`` (default) draws each window's DDIM noise on the
+        host keyed by (seed, window) and ships it to the device —
+        (1+S)*H*rf*J*3 floats per window (~0.65 MB at P=5,T=2), which
+        through a tunneled backend dominates co-batched transfers.
+        ``"device"`` ships only a per-window uint32 seed and generates the
+        noise ON DEVICE inside the jitted sampler (jax.random keyed by the
+        seed) — same determinism contract (a window's noise depends only on
+        its (request seed, window index), never on batch layout), ~5
+        orders of magnitude less transfer, but a DIFFERENT noise universe:
+        responses are not bit-comparable across the two modes.
     """
 
     def __init__(self, model, params,
                  buckets: Sequence[int] = (1, 2, 4, 8, 16),
                  warmup: bool = False, mesh=None,
-                 dynamic_batching: bool = True, max_frames: int = 100_000):
+                 dynamic_batching: bool = True, max_frames: int = 100_000,
+                 noise_mode: str = "host"):
         import jax
 
         self.max_frames = int(max_frames)
+        if noise_mode not in ("host", "device"):
+            raise ValueError(f"noise_mode must be 'host' or 'device'; "
+                             f"got {noise_mode!r}")
+        self.noise_mode = noise_mode
 
         self.mesh = mesh
         n_dev = (int(np.prod(mesh.devices.shape))
@@ -191,14 +261,40 @@ class LiftingService:
 
         from pafuse_tpu import geometry
 
-        def _sample(params, init_noise, step_noise, x2d, x2d_flip):
-            preds = model.eval_forward(params, jax.random.PRNGKey(0), x2d,
-                                       x2d_flip, init_noise=init_noise,
-                                       step_noise=step_noise)
+        def _finish(preds):
             # only the final DDIM step is served — slice on DEVICE so the
             # host readback (and per-request memory) shrinks by the
             # sampling_timesteps factor
             return geometry.wb_pose_from_parts(preds)[:, -1]
+
+        def _sample(params, init_noise, step_noise, x2d, x2d_flip):
+            return _finish(model.eval_forward(
+                params, jax.random.PRNGKey(0), x2d, x2d_flip,
+                init_noise=init_noise, step_noise=step_noise))
+
+        cfg = model.cfg
+        H, S = cfg.num_proposals, cfg.sampling_timesteps
+        rf, J = cfg.frames, cfg.num_kps
+
+        def _sample_devnoise(params, seeds, x2d, x2d_flip):
+            # per-window noise generated ON DEVICE from a uint32 seed: a
+            # window's draws depend only on its seed, so results are
+            # invariant to bucket padding / chunking / co-batching layout
+            import jax.numpy as jnp
+
+            def noise_one(s):
+                k = jax.random.PRNGKey(s)
+                init = jax.random.normal(
+                    jax.random.fold_in(k, 0), (H, rf, J, 3), jnp.float32)
+                stepn = jax.random.normal(
+                    jax.random.fold_in(k, 1), (S, H, rf, J, 3), jnp.float32)
+                return init, stepn
+
+            init, stepn = jax.vmap(noise_one)(seeds)
+            stepn = jnp.swapaxes(stepn, 0, 1)        # (S, W, H, rf, J, 3)
+            return _finish(model.eval_forward(
+                params, jax.random.PRNGKey(0), x2d, x2d_flip,
+                init_noise=init, step_noise=stepn))
 
         if n_dev > 1:
             # same sharding layout as evaluate.build_eval_step: batch over
@@ -208,10 +304,15 @@ class LiftingService:
             from pafuse_tpu.parallel.mesh import data_sharding, replicated
             repl, data = replicated(mesh), data_sharding(mesh)
             step_sh = NamedSharding(mesh, P(None, "data"))
-            self._sample = jax.jit(
-                _sample, in_shardings=(repl, data, step_sh, data, data))
+            if noise_mode == "device":
+                self._sample = jax.jit(
+                    _sample_devnoise, in_shardings=(repl, data, data, data))
+            else:
+                self._sample = jax.jit(
+                    _sample, in_shardings=(repl, data, step_sh, data, data))
         else:
-            self._sample = jax.jit(_sample)
+            self._sample = jax.jit(_sample_devnoise if noise_mode == "device"
+                                   else _sample)
         self._batcher = (_DynamicBatcher(self) if dynamic_batching else None)
         if warmup:
             self.warmup()
@@ -250,6 +351,16 @@ class LiftingService:
             stepn[i] = r.randn(S, H, rf, J, 3)
         return init, stepn
 
+    @staticmethod
+    def _window_seeds(n_windows: int, seed: int, salt: int = 0x5E21,
+                      base: int = 0) -> np.ndarray:
+        """Per-window uint32 device-noise seeds, keyed exactly like
+        ``_request_noise``: (request seed, absolute window index, salt)."""
+        idx = np.arange(base, base + n_windows, dtype=np.uint64)
+        s = (np.uint64(np.uint32(seed)) * np.uint64(0x9E3779B1)
+             ^ idx * np.uint64(0x85EBCA6B) ^ np.uint64(np.uint32(salt)))
+        return (s & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
     def _request_arrays(self, w2d: np.ndarray, w2d_flip: np.ndarray,
                         seed: int):
         """Build the 4 per-window arrays of a request: 2D windows + the
@@ -260,11 +371,33 @@ class LiftingService:
         bucket executable processes the request; co-batching under
         concurrent load may route it through a larger bucket, whose XLA
         tiling can differ at float-rounding level (~1e-5) — serve.batching=off
-        restores strict bit-reproducibility under load."""
+        restores strict bit-reproducibility under load.
+
+        In ``noise_mode='device'`` only the per-window uint32 seeds travel;
+        the noise is generated inside the jitted sampler with the same
+        (seed, window)-only dependence."""
+        if self.noise_mode == "device":
+            return w2d, w2d_flip, self._window_seeds(w2d.shape[0], seed)
         init, stepn = self._request_noise(w2d.shape[0], seed)
         return w2d, w2d_flip, init, stepn
 
-    def _device_run(self, w2d, w2d_flip, init, stepn) -> np.ndarray:
+    def _call_chunk(self, w2d_c, w2d_flip_c, *noise_c):
+        """One jitted sampler call on a bucket-shaped chunk.  Host arrays go
+        straight into the jitted call: under a mesh, jit transfers each
+        shard once per in_shardings — wrapping in jnp.asarray first would
+        commit the full chunk to device 0 and then re-scatter it over ICI
+        (replicate-then-slice)."""
+        if self.noise_mode == "device":
+            (seeds_c,) = noise_c
+            return self._sample(self.params, seeds_c, w2d_c, w2d_flip_c)
+        init_c, stepn_c = noise_c
+        return self._sample(
+            self.params, init_c,
+            # step noise is consumed as (S, B, H, rf, J, 3) by the scan
+            np.ascontiguousarray(stepn_c.transpose(1, 0, 2, 3, 4, 5)),
+            w2d_c, w2d_flip_c)
+
+    def _device_run(self, w2d, w2d_flip, *noise) -> np.ndarray:
         """Run window rows through the sampler in bucket-padded chunks:
         (W, rf, J, 2) -> (W, H, rf, J, 3) at the final DDIM step (the slice
         happens on device); one-deep pipeline so the host
@@ -274,24 +407,36 @@ class LiftingService:
         (request latencies overlap it when co-batched)."""
         from pafuse_tpu.utils.backend import run_chunked_pipelined
 
-        def call(w2d_c, w2d_flip_c, init_c, stepn_c):
-            # host arrays go straight into the jitted call: under a mesh,
-            # jit transfers each shard once per in_shardings — wrapping in
-            # jnp.asarray first would commit the full chunk to device 0 and
-            # then re-scatter it over ICI (replicate-then-slice)
-            return self._sample(
-                self.params, init_c,
-                # step noise is consumed as (S, B, H, rf, J, 3) by the scan
-                np.ascontiguousarray(
-                    stepn_c.transpose(1, 0, 2, 3, 4, 5)),
-                w2d_c, w2d_flip_c)
+        def call(w2d_c, w2d_flip_c, *noise_c):
+            return self._call_chunk(w2d_c, w2d_flip_c, *noise_c)
 
         t0 = time.time()
-        out = run_chunked_pipelined(call, (w2d, w2d_flip, init, stepn),
+        out = run_chunked_pipelined(call, (w2d, w2d_flip) + noise,
                                     bucket_for(w2d.shape[0], self.buckets))
         with self._stats_lock:
             self.stats["busy_seconds"] += time.time() - t0
         return out
+
+    def _device_dispatch(self, w2d, w2d_flip, *noise):
+        """Asynchronous single-bucket sampler call: pad the rows up to their
+        bucket, enqueue the jitted call, and return the DEVICE array sliced
+        to the valid rows — no host readback (the dynamic batcher reads it
+        back one batch later, overlapping the next batch's dispatch).
+        Rows must fit the largest bucket; oversized requests take the
+        chunked ``_device_run`` path."""
+        n = w2d.shape[0]
+        b = bucket_for(n, self.buckets)
+        assert n <= b, (n, self.buckets)
+
+        def padded(a):
+            if n == b:
+                return a
+            reps = np.repeat(a[-1:], b - n, axis=0)
+            return np.concatenate([a, reps], axis=0)
+
+        out = self._call_chunk(padded(w2d), padded(w2d_flip),
+                               *[padded(a) for a in noise])
+        return out[:n]
 
     def _dispatch(self, arrays) -> np.ndarray:
         """Route prepared (w2d, w2d_flip, init, stepn) rows to the device —
@@ -409,6 +554,7 @@ class LiftingService:
         s["mesh_devices"] = (int(np.prod(self.mesh.devices.shape))
                              if self.mesh is not None else 1)
         s["dynamic_batching"] = self._batcher is not None
+        s["noise_mode"] = self.noise_mode
         return s
 
 
@@ -470,8 +616,14 @@ class StreamingSession:
         self._lock = threading.Lock()
         # fixed-noise mode: one cached draw, identical to a batch request's
         # window-0 noise — so a full-buffer streaming emit matches lift()
-        self._noise1 = (None if per_frame_noise
-                        else service._request_noise(1, self.seed))
+        # (device noise mode caches the window-0 SEED instead; same
+        # equivalence, the draw happens on device)
+        if per_frame_noise:
+            self._noise1 = None
+        elif service.noise_mode == "device":
+            self._noise1 = service._window_seeds(1, self.seed)
+        else:
+            self._noise1 = service._request_noise(1, self.seed)
         with service._stats_lock:
             service.stats["stream_sessions"] += 1
 
@@ -537,14 +689,21 @@ class StreamingSession:
                 w2d = np.stack(w2d)
                 w2d_flip = np.stack(w2d_flip)
 
-                if self.per_frame_noise:
-                    init, stepn = svc._request_noise(
+                if svc.noise_mode == "device":
+                    if self.per_frame_noise:
+                        noise = (svc._window_seeds(
+                            F, self.seed, salt=0x51AE,
+                            base=self._t - F + 1),)
+                    else:
+                        noise = (np.repeat(self._noise1, F, axis=0),)
+                elif self.per_frame_noise:
+                    noise = svc._request_noise(
                         F, self.seed, salt=0x51AE, base=self._t - F + 1)
                 else:
-                    init = np.repeat(self._noise1[0], F, axis=0)
-                    stepn = np.repeat(self._noise1[1], F, axis=0)
+                    noise = (np.repeat(self._noise1[0], F, axis=0),
+                             np.repeat(self._noise1[1], F, axis=0))
 
-                out = svc._dispatch((w2d, w2d_flip, init, stepn))
+                out = svc._dispatch((w2d, w2d_flip) + noise)
                 pos = rf - 1 - self.delay
                 poses = out[:, :, pos]                     # (F, H, J, 3)
                 if self.world:

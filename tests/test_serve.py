@@ -414,3 +414,86 @@ def test_http_stream_idle_eviction(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Device-noise mode (round 4): per-window seeds travel instead of noise
+# tensors; same determinism contract, different noise universe.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def device_noise_service():
+    import jax
+    model = D3DP(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    svc = serve.LiftingService(model, params, buckets=(1, 2, 4),
+                               noise_mode="device")
+    svc.warmup()
+    return svc
+
+
+def test_device_noise_determinism_and_chunk_invariance(device_noise_service):
+    svc = device_noise_service
+    rng = np.random.RandomState(3)
+    kps = rng.randn(20, 134, 2).astype(np.float32)  # 3 windows
+    out = svc.lift(kps, seed=7)
+    assert out["poses"].shape == (20, 134, 3)
+    assert np.all(np.isfinite(out["poses"]))
+    np.testing.assert_array_equal(out["poses"],
+                                  svc.lift(kps, seed=7)["poses"])
+    assert np.abs(out["poses"] - svc.lift(kps, seed=8)["poses"]).max() > 0
+
+    # chunk/bucket invariance: the same request through a buckets=(1,)
+    # service (3 chunked bucket-1 calls) gives the same noise draws —
+    # a window's noise depends only on (seed, window index)
+    import jax
+    svc1 = serve.LiftingService(svc.model, svc.params, buckets=(1,),
+                                noise_mode="device")
+    np.testing.assert_allclose(svc1.lift(kps, seed=7)["poses"],
+                               out["poses"], rtol=0, atol=2e-5)
+    svc1._batcher.stop()
+
+
+def test_device_noise_streaming_matches_batch(device_noise_service):
+    """Full-buffer streaming emit == batch lift window-0, as in host mode."""
+    svc = device_noise_service
+    rf = svc.receptive_field
+    rng = np.random.RandomState(4)
+    kps = rng.randn(rf, 134, 2).astype(np.float32)
+    batch = svc.lift(kps, seed=5)["poses"]
+    sess = serve.StreamingSession(svc, seed=5)
+    last = None
+    for t in range(rf):
+        last = sess.push(kps[t])
+    # last emitted pose == batch lift's final frame (same window, same seed)
+    np.testing.assert_allclose(last["poses"][0], batch[-1], atol=2e-5)
+
+
+def test_device_noise_per_frame_streaming(device_noise_service):
+    svc = device_noise_service
+    rng = np.random.RandomState(5)
+    kps = rng.randn(4, 134, 2).astype(np.float32)
+    s1 = serve.StreamingSession(svc, seed=9, per_frame_noise=True)
+    s2 = serve.StreamingSession(svc, seed=9, per_frame_noise=True)
+    for t in range(4):
+        a = s1.push(kps[t])["poses"]
+        b = s2.push(kps[t])["poses"]
+        np.testing.assert_array_equal(a, b)  # reproducible per (seed, t)
+
+
+def test_window_seeds_keying():
+    s = serve.LiftingService._window_seeds
+    a = s(4, seed=1)
+    assert a.dtype == np.uint32 and a.shape == (4,)
+    assert len(set(a.tolist())) == 4           # distinct per window
+    np.testing.assert_array_equal(a, s(4, seed=1))
+    assert set(s(4, seed=2).tolist()) != set(a.tolist())
+    # absolute-index keying: base offset reproduces the same suffix
+    np.testing.assert_array_equal(s(2, seed=1, base=2), a[2:])
+    # salts separate stream draws from batch draws
+    assert s(4, seed=1, salt=0x51AE).tolist() != a.tolist()
+
+
+def test_invalid_noise_mode():
+    with pytest.raises(ValueError, match="noise_mode"):
+        serve.LiftingService(None, None, noise_mode="banana")

@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--timestep", type=int, default=1000)
     ap.add_argument("--synthetic-actions", type=int, default=2)
     ap.add_argument("--synthetic-frames", type=int, default=405)
+    ap.add_argument("--sub-batch", type=int, default=8,
+                    help="window sub-batch bound; 8 (not the bench's 32) "
+                         "because the f32 XLA path + the per-batch injected "
+                         "noise tables need ~4x the HBM of bf16+kernel "
+                         "(32-window f32 eval OOMs a 15.75G v5e)")
     ap.add_argument("--out", default=os.path.join(REPO, "BF16_BUDGET.json"))
     a = ap.parse_args(argv)
 
@@ -70,7 +75,7 @@ def main(argv=None):
     all_actions, _ = collect_actions(dataset, ["S8"])
     pin = ev.pinned_window_batch(
         [kp for act in keypoints["S8"] for kp in keypoints["S8"][act]],
-        a.frames, sub_batch=32)
+        a.frames, sub_batch=a.sub_batch)
 
     cfg = D3DPConfig(frames=a.frames, timesteps=a.timestep, depth=a.dep,
                      num_proposals=a.proposals, sampling_timesteps=a.steps)
