@@ -319,14 +319,25 @@ class LiftingService:
 
     # -- startup -----------------------------------------------------------
     def warmup(self) -> float:
-        """Compile + run every bucket once; returns elapsed seconds."""
+        """Compile + run every bucket once; returns elapsed seconds.
+
+        Buckets compile CONCURRENTLY (jit compilation is thread-safe and
+        each bucket is a distinct shape) — on a remote-compile backend the
+        per-bucket compile latency overlaps instead of summing."""
+        from concurrent.futures import ThreadPoolExecutor
         t0 = time.time()
         with self._stats_lock:
             busy0 = self.stats["busy_seconds"]
         rf, J = self.receptive_field, self.model.cfg.num_kps
-        for b in self.buckets:
+
+        def one(b):
             x = np.zeros((b, rf, J, 2), np.float32)
-            self._run_windows(x, x, seed=0)
+            # straight to the device path: routing warmups through the
+            # dynamic batcher would coalesce them into ONE bucket shape
+            self._device_run(*self._request_arrays(x, x, seed=0))
+
+        with ThreadPoolExecutor(len(self.buckets)) as ex:
+            list(ex.map(one, self.buckets))
         with self._stats_lock:
             # startup compiles are not serving occupancy
             self.stats["busy_seconds"] = busy0

@@ -50,6 +50,11 @@ def main(argv=None):
                          "because the f32 XLA path + the per-batch injected "
                          "noise tables need ~4x the HBM of bf16+kernel "
                          "(32-window f32 eval OOMs a 15.75G v5e)")
+    ap.add_argument("--from-npz", default="",
+                    help="load trained params from this native checkpoint "
+                         "(deltas on random weights are not representative "
+                         "— the untrained model's 650-1000 mm errors scale "
+                         "the numeric noise with them)")
     ap.add_argument("--out", default=os.path.join(REPO, "BF16_BUDGET.json"))
     a = ap.parse_args(argv)
 
@@ -96,6 +101,9 @@ def main(argv=None):
             model = D3DP(cfg, flip_permutation=dataset.flip_permutation)
             prec = "highest"
         params = model.init_params(jax.random.PRNGKey(0))
+        if a.from_npz:
+            from pafuse_tpu import checkpoints
+            params = checkpoints.load_state(a.from_npz, params)["params"]
         per_action = {}
         with jax.default_matmul_precision(prec):
             for ai, action_key in enumerate(sorted(all_actions)):
