@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--buckets", default=None,
                     help="comma list; default 1,4 (covers 1 client and "
                          "co-batched rows)")
+    ap.add_argument("--noise", default="host", choices=("host", "device"),
+                    help="DDIM noise mode: host (default, bit-stable) or "
+                         "device (per-window seeds, on-device generation)")
     ap.add_argument("--stream", action="store_true",
                     help="measure streaming sessions instead: per-frame "
                          "emit latency (1 stream) and aggregate emit rate "
@@ -89,14 +92,15 @@ def main():
 
     results = {"model": "flagship" if a.flagship else "tiny",
                "frames_per_request": frames, "buckets": buckets,
-               "clients": a.clients}
+               "clients": a.clients, "noise": a.noise}
 
     if a.stream:
         # streaming: per-frame causal emits; co-batching across streams is
         # the scaling story, so buckets should cover 1..clients rows
         from concurrent.futures import ThreadPoolExecutor
         svc = serve.LiftingService(model, params, buckets=buckets,
-                                   dynamic_batching=True)
+                                   dynamic_batching=True,
+                                   noise_mode=a.noise)
         t0 = time.time()
         svc.warmup()
         results["warmup_seconds"] = round(time.time() - t0, 1)
@@ -156,7 +160,8 @@ def main():
 
     for batching in (True, False):
         svc = serve.LiftingService(model, params, buckets=buckets,
-                                   dynamic_batching=batching)
+                                   dynamic_batching=batching,
+                                   noise_mode=a.noise)
         t0 = time.time()
         svc.warmup()
         if batching:
