@@ -71,6 +71,30 @@ def test_eval_padding_invariance(tiny_setup):
                                    rtol=1e-6)
 
 
+def test_eval_tail_bucket_invariance(tiny_setup):
+    """The power-of-two tail bucket (final partial batch dispatched at a
+    smaller shape) must leave every metric bit-identical: padded rows are
+    masked to zero and the mean is rescaled by the real-row count, so batch
+    shape cannot leak into the numbers."""
+    model, state, tx, ds, kps = tiny_setup
+    cams, p3, p2 = h3wb.fetch(["S8"], kps, ds)
+    seqs = list(zip(cams, p3, p2))[:2]  # 10 windows -> batches [8, 2] at bs=8
+    kw = dict(receptive_field=9, num_proposals=2, sampling_timesteps=2,
+              window_batch=8, rng=jax.random.PRNGKey(7))
+    t_on, t_off = {}, {}
+    acc_on, _ = ev.evaluate_sequences(model, state.params, list(seqs), None,
+                                      tail_bucket=True, timings=t_on, **kw)
+    acc_off, _ = ev.evaluate_sequences(model, state.params, list(seqs), None,
+                                       tail_bucket=False, timings=t_off, **kw)
+    assert t_on.get("tail_rows_saved", 0) > 0
+    assert "tail_rows_saved" not in t_off
+    assert acc_on.n == acc_off.n
+    for k in acc_on.means_mm():
+        np.testing.assert_allclose(acc_on.means_mm()[k],
+                                   acc_off.means_mm()[k], rtol=1e-5,
+                                   err_msg=k)
+
+
 def test_p2_metrics(tiny_setup):
     model, state, tx, ds, kps = tiny_setup
     cams, p3, p2 = h3wb.fetch(["S8"], kps, ds)
