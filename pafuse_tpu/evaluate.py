@@ -226,14 +226,15 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     padded rows and is the production path.
 
     ``tail_bucket`` (default on) dispatches the final PARTIAL batch of each
-    group at the next power-of-two shape >= its real row count instead of
-    padding it to the full ``bs`` rows.  Metrics are mask-invariant (padded
-    rows contribute zero to every hypothesis and the mean is rescaled by the
-    real-row count), so this is pure throughput: a 22-real-row tail pays for
-    32 rows of DDIM compute instead of 64.  Costs one extra jit
-    specialization per distinct tail shape (<= log2(bs) shapes, cached
-    across actions via ``get_eval_step``); disable for single-shot workloads
-    where an extra cold compile outweighs the saved FLOPs.
+    group at the smallest rung of a power-of-two-with-midpoints ladder
+    (..., 16, 24, 32, 48, 64) >= its real row count instead of padding it
+    to the full ``bs`` rows.  Metrics are mask-invariant (padded rows
+    contribute zero to every hypothesis and the mean is rescaled by the
+    real-row count), so this is pure throughput: a 22-real-row tail pays
+    for 24 rows of DDIM compute instead of 64.  Costs one extra jit
+    specialization per distinct tail shape (<= 2*log2(bs) shapes, cached
+    across actions via ``get_eval_step``); disable for single-shot
+    workloads where an extra cold compile outweighs the saved FLOPs.
 
     ``timings`` (optional) receives a wall-clock phase breakdown —
     host_prep / transfer / dispatch / drain seconds plus window counts —
@@ -412,6 +413,9 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
             tb = bs
             if tail_bucket and cur < bs:
                 tb = 1 << max(cur - 1, 0).bit_length()
+                mid = tb - (tb >> 2)  # 0.75*pow2 midpoint rung
+                if cur <= mid:
+                    tb = mid
                 tb = min(-(-max(tb, n_dev) // n_dev) * n_dev, bs)
             if tb < bs:
                 cut = lambda a: a[:tb]  # noqa: E731 — device-side slice
