@@ -430,11 +430,18 @@ class LiftingService:
 
     def _device_dispatch(self, w2d, w2d_flip, *noise):
         """Asynchronous single-bucket sampler call: pad the rows up to their
-        bucket, enqueue the jitted call, and return the DEVICE array sliced
-        to the valid rows — no host readback (the dynamic batcher reads it
-        back one batch later, overlapping the next batch's dispatch).
-        Rows must fit the largest bucket; oversized requests take the
-        chunked ``_device_run`` path."""
+        bucket, enqueue the jitted call, and return the BUCKET-SHAPED device
+        array — no host readback (the dynamic batcher reads it back one
+        batch later, overlapping the next batch's dispatch) and NO device-
+        side valid-row slice: ``out[:n]`` on a device array is its own lazy
+        execution whose shape varies with the coalesced row count, and each
+        new shape is a remote cold compile through tunneled backends
+        (measured: 11 s p95 stalls at 4 concurrent clients, where coalesced
+        batches run 1-3 rows; 16 clients always fill the bucket and never
+        hit it).  Callers slice valid rows on the host after readback —
+        padded tail rows cost readback bytes only.  Rows must fit the
+        largest bucket; oversized requests take the chunked ``_device_run``
+        path."""
         n = w2d.shape[0]
         b = bucket_for(n, self.buckets)
         assert n <= b, (n, self.buckets)
@@ -445,9 +452,8 @@ class LiftingService:
             reps = np.repeat(a[-1:], b - n, axis=0)
             return np.concatenate([a, reps], axis=0)
 
-        out = self._call_chunk(padded(w2d), padded(w2d_flip),
-                               *[padded(a) for a in noise])
-        return out[:n]
+        return self._call_chunk(padded(w2d), padded(w2d_flip),
+                                *[padded(a) for a in noise])
 
     def _dispatch(self, arrays) -> np.ndarray:
         """Route prepared (w2d, w2d_flip, init, stepn) rows to the device —
