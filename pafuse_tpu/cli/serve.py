@@ -76,11 +76,12 @@ def build_service(args, warmup: bool = True):
         print(f"[serve] sharding window batches over "
               f"{mesh.devices.size}-device mesh")
     noise_mode = str(getattr(args.serve, "noise", "host")).lower()
+    readback = str(getattr(args.serve, "readback", "all")).lower()
     service = serve.LiftingService(
         model, params, buckets=buckets, mesh=mesh,
         dynamic_batching=(batching == "auto"),
         max_frames=int(getattr(args.serve, "max_frames", 100_000)),
-        noise_mode=noise_mode)
+        noise_mode=noise_mode, readback=readback)
     if warmup:
         secs = service.warmup()
         print(f"[serve] warm: compiled buckets {service.buckets} "

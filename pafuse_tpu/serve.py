@@ -223,13 +223,21 @@ class LiftingService:
         its (request seed, window index), never on batch layout), ~5
         orders of magnitude less transfer, but a DIFFERENT noise universe:
         responses are not bit-comparable across the two modes.
+    readback: ``"all"`` (default) reads back every hypothesis —
+        (W, H, rf, J, 3) per call — so ``all_hypotheses`` requests work;
+        ``"mean"`` aggregates the H hypotheses ON DEVICE inside the jitted
+        sampler (the J_Agg-style mean every default request ends with
+        anyway), shrinking the device->host readback H-fold.  Stitching
+        assigns each output frame from exactly one window, so the result
+        equals the host-side mean.  ``all_hypotheses`` requests are
+        rejected on a ``"mean"`` service.
     """
 
     def __init__(self, model, params,
                  buckets: Sequence[int] = (1, 2, 4, 8, 16),
                  warmup: bool = False, mesh=None,
                  dynamic_batching: bool = True, max_frames: int = 100_000,
-                 noise_mode: str = "host"):
+                 noise_mode: str = "host", readback: str = "all"):
         import jax
 
         self.max_frames = int(max_frames)
@@ -237,6 +245,10 @@ class LiftingService:
             raise ValueError(f"noise_mode must be 'host' or 'device'; "
                              f"got {noise_mode!r}")
         self.noise_mode = noise_mode
+        if readback not in ("all", "mean"):
+            raise ValueError(f"readback must be 'all' or 'mean'; "
+                             f"got {readback!r}")
+        self.readback = readback
 
         self.mesh = mesh
         n_dev = (int(np.prod(mesh.devices.shape))
@@ -264,8 +276,14 @@ class LiftingService:
         def _finish(preds):
             # only the final DDIM step is served — slice on DEVICE so the
             # host readback (and per-request memory) shrinks by the
-            # sampling_timesteps factor
-            return geometry.wb_pose_from_parts(preds)[:, -1]
+            # sampling_timesteps factor.  readback='mean' additionally
+            # aggregates the H hypotheses on device (another H-fold readback
+            # cut): stitching assigns each output frame from exactly one
+            # window, so mean-then-stitch == stitch-then-mean exactly.
+            out = geometry.wb_pose_from_parts(preds)[:, -1]
+            if readback == "mean":
+                out = out.mean(axis=1)          # (W, rf, J, 3)
+            return out
 
         def _sample(params, init_noise, step_noise, x2d, x2d_flip):
             return _finish(model.eval_forward(
@@ -511,6 +529,10 @@ class LiftingService:
             raise ValueError(
                 f"request has {keypoints.shape[0]} frames; the per-request "
                 f"limit is {self.max_frames} (max_frames)")
+        if all_hypotheses and self.readback == "mean":
+            raise ValueError(
+                "all_hypotheses requires a readback='all' service; this "
+                "service aggregates hypotheses on device (readback='mean')")
 
         import contextlib
         t0 = time.time()
@@ -534,16 +556,20 @@ class LiftingService:
                 w2d_flip, _ = win.eval_data_prepare(rf, flip)
 
                 preds = self._run_windows(w2d, w2d_flip, seed=int(seed))
-                # (W, H, rf, J, 3) -> (H, W, rf, J, 3) -> stitch timeline
-                preds = preds.transpose(1, 0, 2, 3, 4)
-                final = win.stitch_windows(preds, keypoints.shape[0], rf)
-                # (H, T, J, 3) at the final DDIM step
+                if self.readback == "mean":
+                    # hypotheses already aggregated on device: (W, rf, J, 3)
+                    final = win.stitch_windows(preds, keypoints.shape[0], rf)
+                else:
+                    # (W, H, rf, J, 3) -> (H, W, rf, J, 3) -> stitch timeline
+                    preds = preds.transpose(1, 0, 2, 3, 4)
+                    final = win.stitch_windows(preds, keypoints.shape[0], rf)
+                # (H, T, J, 3) — or (T, J, 3) — at the final DDIM step
                 if world:
                     with host_compute():
                         final = np.array(geometry.camera_to_world(
                             final, _WORLD_ROT, 0.0))
                     final[..., 2] -= final[..., 2].min()
-                if not all_hypotheses:
+                if not all_hypotheses and self.readback != "mean":
                     final = final.mean(axis=0)            # (T, J, 3)
             except Exception:
                 with self._stats_lock:
@@ -572,6 +598,7 @@ class LiftingService:
                              if self.mesh is not None else 1)
         s["dynamic_batching"] = self._batcher is not None
         s["noise_mode"] = self.noise_mode
+        s["readback"] = self.readback
         return s
 
 
@@ -619,6 +646,10 @@ class StreamingSession:
                 f"got {delay}")
         if (width is None) != (height is None):
             raise ValueError("width and height must be given together")
+        if all_hypotheses and service.readback == "mean":
+            raise ValueError(
+                "all_hypotheses requires a readback='all' service; this "
+                "service aggregates hypotheses on device (readback='mean')")
         self.service = service
         self.seed = int(seed)
         self.width, self.height = width, height
@@ -722,7 +753,10 @@ class StreamingSession:
 
                 out = svc._dispatch((w2d, w2d_flip) + noise)
                 pos = rf - 1 - self.delay
-                poses = out[:, :, pos]                     # (F, H, J, 3)
+                # (F, H, J, 3) — or (F, J, 3) with readback='mean' (the
+                # H aggregation already happened on device)
+                poses = (out[:, pos] if svc.readback == "mean"
+                         else out[:, :, pos])
                 if self.world:
                     with host_compute():
                         poses = np.array(geometry.camera_to_world(
@@ -734,7 +768,7 @@ class StreamingSession:
                     self._floor = (zmin if self._floor is None
                                    else min(self._floor, zmin))
                     poses[..., 2] -= self._floor
-                if not self.all_hypotheses:
+                if not self.all_hypotheses and svc.readback != "mean":
                     poses = poses.mean(axis=1)             # (F, J, 3)
             except Exception:
                 with svc._stats_lock:

@@ -244,6 +244,14 @@ def test_build_service_from_config(tmp_path, monkeypatch):
     assert svc.mesh is None
     assert svc.health()["dynamic_batching"] is True  # serve.batching default
     assert svc.max_frames == 100_000                 # serve.max_frames default
+    assert svc.readback == "all"                     # serve.readback default
+
+    args_mean = cfg_mod.load_config(overrides=[
+        "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20",
+        "ft2d.num_proposals=2", "ft2d.sampling_timesteps=2",
+        "serve.buckets=[1,2]", "serve.shard=off", "serve.readback=mean",
+    ])
+    assert build_service(args_mean, warmup=False).readback == "mean"
 
     args_off = cfg_mod.load_config(overrides=[
         "model.number_of_frames=9", "model.dep=1", "ft2d.timestep=20",
@@ -515,3 +523,54 @@ def test_window_seeds_keying():
 def test_invalid_noise_mode():
     with pytest.raises(ValueError, match="noise_mode"):
         serve.LiftingService(None, None, noise_mode="banana")
+
+
+@pytest.fixture(scope="module")
+def mean_readback_service(service):
+    svc = serve.LiftingService(service.model, service.params,
+                               buckets=(1, 2, 4), readback="mean")
+    svc.warmup()
+    yield svc
+    if svc._batcher is not None:
+        svc._batcher.stop()
+
+
+def test_mean_readback_matches_host_mean(service, mean_readback_service):
+    """Device-side hypothesis aggregation == the default host-side mean.
+
+    Stitching assigns each output frame from exactly one window, so the mean
+    commutes with it; only the reduction arithmetic differs (device f32 sum
+    vs numpy pairwise), hence the tiny tolerance.
+    """
+    rng = np.random.RandomState(3)
+    for frames in (5, 20):  # sub-window and multi-window requests
+        kps = rng.randn(frames, 134, 2).astype(np.float32)
+        ref = service.lift(kps, seed=7)["poses"]
+        got = mean_readback_service.lift(kps, seed=7)["poses"]
+        assert got.shape == (frames, 134, 3)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def test_mean_readback_rejects_all_hypotheses(mean_readback_service):
+    kps = np.zeros((5, 134, 2), np.float32)
+    with pytest.raises(ValueError, match="all_hypotheses"):
+        mean_readback_service.lift(kps, all_hypotheses=True)
+    with pytest.raises(ValueError, match="all_hypotheses"):
+        serve.StreamingSession(mean_readback_service, all_hypotheses=True)
+    with pytest.raises(ValueError, match="readback"):
+        serve.LiftingService(None, None, readback="median")
+
+
+def test_mean_readback_streaming_and_health(service, mean_readback_service):
+    svc = mean_readback_service
+    rng = np.random.RandomState(4)
+    kps = rng.randn(4, 134, 2).astype(np.float32)
+    s_mean = serve.StreamingSession(svc, seed=9)
+    s_all = serve.StreamingSession(service, seed=9)
+    for t in range(4):
+        a = s_mean.push(kps[t])["poses"]
+        b = s_all.push(kps[t])["poses"]
+        assert a.shape == (1, 134, 3)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+    assert svc.health()["readback"] == "mean"
+    assert service.health()["readback"] == "all"

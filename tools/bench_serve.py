@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--noise", default="host", choices=("host", "device"),
                     help="DDIM noise mode: host (default, bit-stable) or "
                          "device (per-window seeds, on-device generation)")
+    ap.add_argument("--readback", default="all", choices=("all", "mean"),
+                    help="hypothesis readback: all (default) or mean "
+                         "(on-device aggregation, H-fold less readback)")
     ap.add_argument("--stream", action="store_true",
                     help="measure streaming sessions instead: per-frame "
                          "emit latency (1 stream) and aggregate emit rate "
@@ -92,7 +95,8 @@ def main():
 
     results = {"model": "flagship" if a.flagship else "tiny",
                "frames_per_request": frames, "buckets": buckets,
-               "clients": a.clients, "noise": a.noise}
+               "clients": a.clients, "noise": a.noise,
+               "readback": a.readback}
 
     if a.stream:
         # streaming: per-frame causal emits; co-batching across streams is
@@ -100,7 +104,7 @@ def main():
         from concurrent.futures import ThreadPoolExecutor
         svc = serve.LiftingService(model, params, buckets=buckets,
                                    dynamic_batching=True,
-                                   noise_mode=a.noise)
+                                   noise_mode=a.noise, readback=a.readback)
         t0 = time.time()
         svc.warmup()
         results["warmup_seconds"] = round(time.time() - t0, 1)
@@ -161,7 +165,7 @@ def main():
     for batching in (True, False):
         svc = serve.LiftingService(model, params, buckets=buckets,
                                    dynamic_batching=batching,
-                                   noise_mode=a.noise)
+                                   noise_mode=a.noise, readback=a.readback)
         t0 = time.time()
         svc.warmup()
         if batching:
