@@ -512,6 +512,13 @@ def main(argv=None):
                       "run the reference eval and pass --reference-log._"]
         lines.append("")
         print(json.dumps({f"P{P}T{T}": avg}))
+        # flush after every op-point: a timeout mid-matrix (trials at the
+        # slowest op-point run last and longest) must not lose the report
+        # for the op-points already evaluated
+        with open(a.out, "w") as f:
+            f.write("\n".join(lines + [
+                "## Verdict", "",
+                "INCOMPLETE — run ended before all op-points", ""]))
 
     verdict = ("PASS — all comparisons within budget" if ok
                else "FAIL — at least one comparison exceeded the budget")
