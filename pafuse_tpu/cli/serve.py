@@ -77,11 +77,15 @@ def build_service(args, warmup: bool = True):
               f"{mesh.devices.size}-device mesh")
     noise_mode = str(getattr(args.serve, "noise", "host")).lower()
     readback = str(getattr(args.serve, "readback", "all")).lower()
+    op_points = getattr(args.serve, "op_points", None)
+    if isinstance(op_points, str):
+        op_points = [t for t in op_points.split(",") if t.strip()]
     service = serve.LiftingService(
         model, params, buckets=buckets, mesh=mesh,
         dynamic_batching=(batching == "auto"),
         max_frames=int(getattr(args.serve, "max_frames", 100_000)),
-        noise_mode=noise_mode, readback=readback)
+        noise_mode=noise_mode, readback=readback,
+        op_points=op_points or None)
     if warmup:
         secs = service.warmup()
         print(f"[serve] warm: compiled buckets {service.buckets} "

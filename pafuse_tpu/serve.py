@@ -31,7 +31,7 @@ from __future__ import annotations
 import json
 import threading
 import time
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -62,9 +62,11 @@ class _DynamicBatcher:
     layout only, exactly like the bucket/chunk padding it rides on.
     """
 
-    def __init__(self, service: "LiftingService", autostart: bool = True):
+    def __init__(self, service: "LiftingService", autostart: bool = True,
+                 op_point=None):
         import queue
         self._service = service
+        self._op_point = op_point   # (P, T) tier this batcher dispatches for
         self._q: "queue.Queue" = queue.Queue()
         self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -74,7 +76,8 @@ class _DynamicBatcher:
 
     def submit(self, arrays):
         """arrays: (w2d, w2d_flip, init, stepn), W rows each.  Returns a
-        Future resolving to the (W, H, rf, J, 3) final-step predictions."""
+        Future resolving to the final-step predictions — (W, H, rf, J, 3),
+        or (W, rf, J, 3) on a readback='mean' service."""
         from concurrent.futures import Future
         if self._stopped:
             raise RuntimeError("batcher stopped")
@@ -168,7 +171,7 @@ class _DynamicBatcher:
                     if pending is not None:
                         self._resolve(pending)
                         pending = None
-                    out = svc._device_run(*arrays)
+                    out = svc._device_run(*arrays, op_point=self._op_point)
                     with svc._stats_lock:
                         svc.stats["batch_calls"] += 1
                         svc.stats["batched_requests"] += len(batch)
@@ -178,7 +181,8 @@ class _DynamicBatcher:
                         f.set_result(out[ofs:ofs + w])
                         ofs += w
                 else:
-                    dev_out = svc._device_dispatch(*arrays)
+                    dev_out = svc._device_dispatch(*arrays,
+                                                   op_point=self._op_point)
                     if pending is not None:
                         self._resolve(pending)
                     pending = (dev_out, batch, time.time())
@@ -231,13 +235,24 @@ class LiftingService:
         assigns each output frame from exactly one window, so the result
         equals the host-side mean.  ``all_hypotheses`` requests are
         rejected on a ``"mean"`` service.
+    op_points: optional list of (P, T) tiers — ``[(5, 2), (1, 1)]`` or
+        ``["5x2", "1x1"]`` — served by ONE process over the SAME resident
+        params (P/T are sampler call overrides, not weight shapes, so an
+        extra tier costs warm-compile time and zero HBM).  The first entry
+        is the default tier; requests select others via ``op_point=``
+        (HTTP: ``"op_point": "1x1"``).  Typical deployment: a quality tier
+        for batch requests plus a P=1,T=1 latency tier for live streams.
+        Default: the model config's (num_proposals, sampling_timesteps).
+        Each tier gets its own dynamic batcher (co-batching never mixes
+        tiers — different executables).
     """
 
     def __init__(self, model, params,
                  buckets: Sequence[int] = (1, 2, 4, 8, 16),
                  warmup: bool = False, mesh=None,
                  dynamic_batching: bool = True, max_frames: int = 100_000,
-                 noise_mode: str = "host", readback: str = "all"):
+                 noise_mode: str = "host", readback: str = "all",
+                 op_points: Optional[Sequence] = None):
         import jax
 
         self.max_frames = int(max_frames)
@@ -273,6 +288,23 @@ class LiftingService:
 
         from pafuse_tpu import geometry
 
+        cfg = model.cfg
+        rf, J = cfg.frames, cfg.num_kps
+        pts = list(op_points) if op_points else [
+            (cfg.num_proposals, cfg.sampling_timesteps)]
+        seen, norm = set(), []
+        for pt in pts:
+            P_, T_ = (pt.lower().split("x") if isinstance(pt, str) else pt)
+            P_, T_ = int(P_), int(T_)
+            if P_ < 1 or T_ < 1:
+                raise ValueError(f"op-point P/T must be >= 1; got {pt!r}")
+            if (P_, T_) not in seen:
+                seen.add((P_, T_))
+                norm.append((P_, T_))
+        # first entry is the default tier (requests that name no op_point)
+        self.op_points = tuple(norm)
+        self.default_op_point = self.op_points[0]
+
         def _finish(preds):
             # only the final DDIM step is served — slice on DEVICE so the
             # host readback (and per-request memory) shrinks by the
@@ -285,77 +317,116 @@ class LiftingService:
                 out = out.mean(axis=1)          # (W, rf, J, 3)
             return out
 
-        def _sample(params, init_noise, step_noise, x2d, x2d_flip):
-            return _finish(model.eval_forward(
-                params, jax.random.PRNGKey(0), x2d, x2d_flip,
-                init_noise=init_noise, step_noise=step_noise))
+        def _make_samplers(H, S):
+            """Jitted sampler pair for one (P, T) tier.  P/T are sampler
+            CALL overrides (diffusion.ddim_sample), so every tier shares the
+            single resident param pytree — an extra tier costs compile time
+            only, not HBM."""
 
-        cfg = model.cfg
-        H, S = cfg.num_proposals, cfg.sampling_timesteps
-        rf, J = cfg.frames, cfg.num_kps
+            def _sample(params, init_noise, step_noise, x2d, x2d_flip):
+                return _finish(model.eval_forward(
+                    params, jax.random.PRNGKey(0), x2d, x2d_flip,
+                    num_proposals=H, sampling_timesteps=S,
+                    init_noise=init_noise, step_noise=step_noise))
 
-        def _sample_devnoise(params, seeds, x2d, x2d_flip):
-            # per-window noise generated ON DEVICE from a uint32 seed: a
-            # window's draws depend only on its seed, so results are
-            # invariant to bucket padding / chunking / co-batching layout
-            import jax.numpy as jnp
+            def _sample_devnoise(params, seeds, x2d, x2d_flip):
+                # per-window noise generated ON DEVICE from a uint32 seed: a
+                # window's draws depend only on its seed, so results are
+                # invariant to bucket padding / chunking / co-batching layout
+                import jax.numpy as jnp
 
-            def noise_one(s):
-                k = jax.random.PRNGKey(s)
-                init = jax.random.normal(
-                    jax.random.fold_in(k, 0), (H, rf, J, 3), jnp.float32)
-                stepn = jax.random.normal(
-                    jax.random.fold_in(k, 1), (S, H, rf, J, 3), jnp.float32)
-                return init, stepn
+                def noise_one(s):
+                    k = jax.random.PRNGKey(s)
+                    init = jax.random.normal(
+                        jax.random.fold_in(k, 0), (H, rf, J, 3), jnp.float32)
+                    stepn = jax.random.normal(
+                        jax.random.fold_in(k, 1), (S, H, rf, J, 3),
+                        jnp.float32)
+                    return init, stepn
 
-            init, stepn = jax.vmap(noise_one)(seeds)
-            stepn = jnp.swapaxes(stepn, 0, 1)        # (S, W, H, rf, J, 3)
-            return _finish(model.eval_forward(
-                params, jax.random.PRNGKey(0), x2d, x2d_flip,
-                init_noise=init, step_noise=stepn))
+                init, stepn = jax.vmap(noise_one)(seeds)
+                stepn = jnp.swapaxes(stepn, 0, 1)    # (S, W, H, rf, J, 3)
+                return _finish(model.eval_forward(
+                    params, jax.random.PRNGKey(0), x2d, x2d_flip,
+                    num_proposals=H, sampling_timesteps=S,
+                    init_noise=init, step_noise=stepn))
 
-        if n_dev > 1:
-            # same sharding layout as evaluate.build_eval_step: batch over
-            # the data axis, params replicated, step noise (S, B, ...) on
-            # its second axis; XLA SPMD handles the rest
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from pafuse_tpu.parallel.mesh import data_sharding, replicated
-            repl, data = replicated(mesh), data_sharding(mesh)
-            step_sh = NamedSharding(mesh, P(None, "data"))
-            if noise_mode == "device":
-                self._sample = jax.jit(
-                    _sample_devnoise, in_shardings=(repl, data, data, data))
-            else:
-                self._sample = jax.jit(
-                    _sample, in_shardings=(repl, data, step_sh, data, data))
-        else:
-            self._sample = jax.jit(_sample_devnoise if noise_mode == "device"
-                                   else _sample)
-        self._batcher = (_DynamicBatcher(self) if dynamic_batching else None)
+            if n_dev > 1:
+                # same sharding layout as evaluate.build_eval_step: batch
+                # over the data axis, params replicated, step noise
+                # (S, B, ...) on its second axis; XLA SPMD handles the rest
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from pafuse_tpu.parallel.mesh import data_sharding, replicated
+                repl, data = replicated(mesh), data_sharding(mesh)
+                step_sh = NamedSharding(mesh, P(None, "data"))
+                if noise_mode == "device":
+                    return jax.jit(_sample_devnoise,
+                                   in_shardings=(repl, data, data, data))
+                return jax.jit(_sample,
+                               in_shardings=(repl, data, step_sh, data, data))
+            return jax.jit(_sample_devnoise if noise_mode == "device"
+                           else _sample)
+
+        self._samplers = {pt: _make_samplers(*pt) for pt in self.op_points}
+        # back-compat alias: the default tier's sampler
+        self._sample = self._samplers[self.default_op_point]
+        self._batchers = ({pt: _DynamicBatcher(self, op_point=pt)
+                           for pt in self.op_points}
+                          if dynamic_batching else None)
+        # back-compat alias: the default tier's batcher (tests/tools call
+        # svc._batcher.stop(); prefer close() which stops every tier)
+        self._batcher = (self._batchers[self.default_op_point]
+                         if dynamic_batching else None)
         if warmup:
             self.warmup()
 
+    def close(self):
+        """Stop every tier's dispatch thread (idempotent)."""
+        if self._batchers is not None:
+            for b in self._batchers.values():
+                b.stop()
+
+    def _resolve_op_point(self, op_point) -> Tuple[int, int]:
+        """None -> default tier; "PxT" string or (P, T) pair otherwise."""
+        if op_point is None:
+            return self.default_op_point
+        if isinstance(op_point, str):
+            P_, T_ = op_point.lower().split("x")
+        else:
+            P_, T_ = op_point
+        pt = (int(P_), int(T_))
+        if pt not in self._samplers:
+            avail = ", ".join(f"{p}x{t}" for p, t in self.op_points)
+            raise ValueError(f"op_point {pt[0]}x{pt[1]} not served; "
+                             f"available: {avail}")
+        return pt
+
     # -- startup -----------------------------------------------------------
     def warmup(self) -> float:
-        """Compile + run every bucket once; returns elapsed seconds.
+        """Compile + run every (bucket x op-point) once; returns elapsed
+        seconds.
 
-        Buckets compile CONCURRENTLY (jit compilation is thread-safe and
-        each bucket is a distinct shape) — on a remote-compile backend the
-        per-bucket compile latency overlaps instead of summing."""
+        Shapes compile CONCURRENTLY (jit compilation is thread-safe and
+        each bucket/tier is a distinct executable) — on a remote-compile
+        backend the per-shape compile latency overlaps instead of summing."""
         from concurrent.futures import ThreadPoolExecutor
         t0 = time.time()
         with self._stats_lock:
             busy0 = self.stats["busy_seconds"]
         rf, J = self.receptive_field, self.model.cfg.num_kps
 
-        def one(b):
+        def one(task):
+            b, pt = task
             x = np.zeros((b, rf, J, 2), np.float32)
             # straight to the device path: routing warmups through the
             # dynamic batcher would coalesce them into ONE bucket shape
-            self._device_run(*self._request_arrays(x, x, seed=0))
+            self._device_run(*self._request_arrays(x, x, seed=0,
+                                                   op_point=pt),
+                             op_point=pt)
 
-        with ThreadPoolExecutor(len(self.buckets)) as ex:
-            list(ex.map(one, self.buckets))
+        tasks = [(b, pt) for b in self.buckets for pt in self.op_points]
+        with ThreadPoolExecutor(len(tasks)) as ex:
+            list(ex.map(one, tasks))
         with self._stats_lock:
             # startup compiles are not serving occupancy
             self.stats["busy_seconds"] = busy0
@@ -363,14 +434,14 @@ class LiftingService:
 
     # -- request path ------------------------------------------------------
     def _request_noise(self, n_windows: int, seed: int,
-                       salt: int = 0x5E21, base: int = 0):
+                       salt: int = 0x5E21, base: int = 0, op_point=None):
         """Per-window DDIM noise, keyed (seed, window index, salt) on the
         host.  Batch requests key windows 0..W-1 (salt 0x5E21); streaming
         sessions with per-frame noise key by absolute frame index under a
         distinct salt so stream draws never collide with batch draws."""
         cfg = self.model.cfg
         rf, J = self.receptive_field, cfg.num_kps
-        H, S = cfg.num_proposals, cfg.sampling_timesteps
+        H, S = op_point if op_point is not None else self.default_op_point
         init = np.empty((n_windows, H, rf, J, 3), np.float32)
         stepn = np.empty((n_windows, S, H, rf, J, 3), np.float32)
         for i in range(n_windows):
@@ -391,7 +462,7 @@ class LiftingService:
         return (s & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
     def _request_arrays(self, w2d: np.ndarray, w2d_flip: np.ndarray,
-                        seed: int):
+                        seed: int, op_point=None):
         """Build the 4 per-window arrays of a request: 2D windows + the
         request's DDIM noise.  Noise is drawn on the host, keyed per
         (seed, window), so a request's result is SEMANTICALLY independent of
@@ -407,26 +478,29 @@ class LiftingService:
         (seed, window)-only dependence."""
         if self.noise_mode == "device":
             return w2d, w2d_flip, self._window_seeds(w2d.shape[0], seed)
-        init, stepn = self._request_noise(w2d.shape[0], seed)
+        init, stepn = self._request_noise(w2d.shape[0], seed,
+                                          op_point=op_point)
         return w2d, w2d_flip, init, stepn
 
-    def _call_chunk(self, w2d_c, w2d_flip_c, *noise_c):
+    def _call_chunk(self, w2d_c, w2d_flip_c, *noise_c, op_point=None):
         """One jitted sampler call on a bucket-shaped chunk.  Host arrays go
         straight into the jitted call: under a mesh, jit transfers each
         shard once per in_shardings — wrapping in jnp.asarray first would
         commit the full chunk to device 0 and then re-scatter it over ICI
         (replicate-then-slice)."""
+        sample = self._samplers[op_point if op_point is not None
+                                else self.default_op_point]
         if self.noise_mode == "device":
             (seeds_c,) = noise_c
-            return self._sample(self.params, seeds_c, w2d_c, w2d_flip_c)
+            return sample(self.params, seeds_c, w2d_c, w2d_flip_c)
         init_c, stepn_c = noise_c
-        return self._sample(
+        return sample(
             self.params, init_c,
             # step noise is consumed as (S, B, H, rf, J, 3) by the scan
             np.ascontiguousarray(stepn_c.transpose(1, 0, 2, 3, 4, 5)),
             w2d_c, w2d_flip_c)
 
-    def _device_run(self, w2d, w2d_flip, *noise) -> np.ndarray:
+    def _device_run(self, w2d, w2d_flip, *noise, op_point=None) -> np.ndarray:
         """Run window rows through the sampler in bucket-padded chunks:
         (W, rf, J, 2) -> (W, H, rf, J, 3) at the final DDIM step (the slice
         happens on device); one-deep pipeline so the host
@@ -437,7 +511,8 @@ class LiftingService:
         from pafuse_tpu.utils.backend import run_chunked_pipelined
 
         def call(w2d_c, w2d_flip_c, *noise_c):
-            return self._call_chunk(w2d_c, w2d_flip_c, *noise_c)
+            return self._call_chunk(w2d_c, w2d_flip_c, *noise_c,
+                                    op_point=op_point)
 
         t0 = time.time()
         out = run_chunked_pipelined(call, (w2d, w2d_flip) + noise,
@@ -446,7 +521,7 @@ class LiftingService:
             self.stats["busy_seconds"] += time.time() - t0
         return out
 
-    def _device_dispatch(self, w2d, w2d_flip, *noise):
+    def _device_dispatch(self, w2d, w2d_flip, *noise, op_point=None):
         """Asynchronous single-bucket sampler call: pad the rows up to their
         bucket, enqueue the jitted call, and return the BUCKET-SHAPED device
         array — no host readback (the dynamic batcher reads it back one
@@ -471,24 +546,28 @@ class LiftingService:
             return np.concatenate([a, reps], axis=0)
 
         return self._call_chunk(padded(w2d), padded(w2d_flip),
-                                *[padded(a) for a in noise])
+                                *[padded(a) for a in noise],
+                                op_point=op_point)
 
-    def _dispatch(self, arrays) -> np.ndarray:
+    def _dispatch(self, arrays, op_point=None) -> np.ndarray:
         """Route prepared (w2d, w2d_flip, init, stepn) rows to the device —
-        through the dynamic batcher (co-batching with concurrent requests)
-        when enabled, directly otherwise."""
-        if self._batcher is not None:
-            return self._batcher.submit(arrays).result()
-        return self._device_run(*arrays)
+        through the op-point tier's dynamic batcher (co-batching with
+        concurrent same-tier requests) when enabled, directly otherwise."""
+        pt = op_point if op_point is not None else self.default_op_point
+        if self._batchers is not None:
+            return self._batchers[pt].submit(arrays).result()
+        return self._device_run(*arrays, op_point=pt)
 
     def _run_windows(self, w2d: np.ndarray, w2d_flip: np.ndarray,
-                     seed: int) -> np.ndarray:
-        return self._dispatch(self._request_arrays(w2d, w2d_flip, seed))
+                     seed: int, op_point=None) -> np.ndarray:
+        return self._dispatch(
+            self._request_arrays(w2d, w2d_flip, seed, op_point=op_point),
+            op_point=op_point)
 
     def lift(self, keypoints: np.ndarray, width: Optional[int] = None,
              height: Optional[int] = None, seed: int = 0,
-             world: bool = False, all_hypotheses: bool = False
-             ) -> Dict[str, object]:
+             world: bool = False, all_hypotheses: bool = False,
+             op_point=None) -> Dict[str, object]:
         """Lift a 2D keypoint sequence to 3D.
 
         Parameters
@@ -504,6 +583,8 @@ class LiftingService:
         world: apply the reference's in-the-wild camera->world rotation and
             floor rebase.
         all_hypotheses: return all H hypotheses instead of their mean.
+        op_point: which served (P, T) tier runs the request — ``(1, 1)`` or
+            ``"1x1"``; ``None`` = the default (first-configured) tier.
 
         Returns a dict with ``poses`` (T, J, 3) — or (H, T, J, 3) with
         ``all_hypotheses`` — at the final DDIM step, plus timing metadata.
@@ -511,6 +592,7 @@ class LiftingService:
         from pafuse_tpu import geometry
         from pafuse_tpu.utils.backend import host_compute
 
+        op_point = self._resolve_op_point(op_point)
         keypoints = np.asarray(keypoints, np.float32)
         if keypoints.ndim != 3 or keypoints.shape[-1] != 2:
             raise ValueError(
@@ -539,7 +621,7 @@ class LiftingService:
         # With dynamic batching the device is owned by the dispatch thread,
         # so per-request host prep may run concurrently; without it, whole
         # requests serialize through the lock as before.
-        serial = (self._lock if self._batcher is None
+        serial = (self._lock if self._batchers is None
                   else contextlib.nullcontext())
         with serial:
             try:
@@ -555,7 +637,8 @@ class LiftingService:
                 w2d, _ = win.eval_data_prepare(rf, keypoints)
                 w2d_flip, _ = win.eval_data_prepare(rf, flip)
 
-                preds = self._run_windows(w2d, w2d_flip, seed=int(seed))
+                preds = self._run_windows(w2d, w2d_flip, seed=int(seed),
+                                          op_point=op_point)
                 if self.readback == "mean":
                     # hypotheses already aggregated on device: (W, rf, J, 3)
                     final = win.stitch_windows(preds, keypoints.shape[0], rf)
@@ -582,7 +665,7 @@ class LiftingService:
         return {
             "poses": final,
             "num_frames": int(keypoints.shape[0]),
-            "num_hypotheses": int(self.model.cfg.num_proposals),
+            "num_hypotheses": int(op_point[0]),
             "latency_ms": round(dt * 1000.0, 2),
         }
 
@@ -592,11 +675,12 @@ class LiftingService:
         s["status"] = "ok"
         s["receptive_field"] = self.receptive_field
         s["buckets"] = list(self.buckets)
-        s["num_proposals"] = int(self.model.cfg.num_proposals)
-        s["sampling_timesteps"] = int(self.model.cfg.sampling_timesteps)
+        s["num_proposals"] = int(self.default_op_point[0])
+        s["sampling_timesteps"] = int(self.default_op_point[1])
+        s["op_points"] = [f"{p}x{t}" for p, t in self.op_points]
         s["mesh_devices"] = (int(np.prod(self.mesh.devices.shape))
                              if self.mesh is not None else 1)
-        s["dynamic_batching"] = self._batcher is not None
+        s["dynamic_batching"] = self._batchers is not None
         s["noise_mode"] = self.noise_mode
         s["readback"] = self.readback
         return s
@@ -638,7 +722,8 @@ class StreamingSession:
     def __init__(self, service: LiftingService, seed: int = 0,
                  width: Optional[int] = None, height: Optional[int] = None,
                  delay: int = 0, world: bool = False,
-                 all_hypotheses: bool = False, per_frame_noise: bool = False):
+                 all_hypotheses: bool = False, per_frame_noise: bool = False,
+                 op_point=None):
         rf = service.receptive_field
         if not 0 <= int(delay) < rf:
             raise ValueError(
@@ -651,6 +736,7 @@ class StreamingSession:
                 "all_hypotheses requires a readback='all' service; this "
                 "service aggregates hypotheses on device (readback='mean')")
         self.service = service
+        self.op_point = service._resolve_op_point(op_point)
         self.seed = int(seed)
         self.width, self.height = width, height
         self.delay = int(delay)
@@ -671,7 +757,8 @@ class StreamingSession:
         elif service.noise_mode == "device":
             self._noise1 = service._window_seeds(1, self.seed)
         else:
-            self._noise1 = service._request_noise(1, self.seed)
+            self._noise1 = service._request_noise(1, self.seed,
+                                                  op_point=self.op_point)
         with service._stats_lock:
             service.stats["stream_sessions"] += 1
 
@@ -746,12 +833,14 @@ class StreamingSession:
                         noise = (np.repeat(self._noise1, F, axis=0),)
                 elif self.per_frame_noise:
                     noise = svc._request_noise(
-                        F, self.seed, salt=0x51AE, base=self._t - F + 1)
+                        F, self.seed, salt=0x51AE, base=self._t - F + 1,
+                        op_point=self.op_point)
                 else:
                     noise = (np.repeat(self._noise1[0], F, axis=0),
                              np.repeat(self._noise1[1], F, axis=0))
 
-                out = svc._dispatch((w2d, w2d_flip) + noise)
+                out = svc._dispatch((w2d, w2d_flip) + noise,
+                                    op_point=self.op_point)
                 pos = rf - 1 - self.delay
                 # (F, H, J, 3) — or (F, J, 3) with readback='mean' (the
                 # H aggregation already happened on device)
@@ -779,7 +868,7 @@ class StreamingSession:
         return {
             "poses": poses,
             "frame_indices": idx,
-            "num_hypotheses": int(cfg.num_proposals),
+            "num_hypotheses": int(self.op_point[0]),
             "latency_ms": round((time.time() - t0) * 1000.0, 2),
         }
 
@@ -795,7 +884,8 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
 
     Streaming surface (stateful sessions over the stateless service):
       POST   /stream          {seed, width, height, delay, world,
-                               all_hypotheses, per_frame_noise} -> {session}
+                               all_hypotheses, per_frame_noise, op_point}
+                              -> {session}
       POST   /stream/<id>     {keypoints: (J,2) | (F,J,2)} -> {poses, ...}
       DELETE /stream/<id>     close the session
     Sessions idle longer than ``stream_idle_timeout`` seconds are evicted
@@ -868,7 +958,8 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
                         seed=int(req.get("seed", 0)),
                         world=bool(req.get("world", False)),
                         all_hypotheses=bool(req.get("all_hypotheses",
-                                                    False)))
+                                                    False)),
+                        op_point=req.get("op_point"))
                 elif self.path == "/stream":
                     req = self._read_json()
                     _evict_idle()
@@ -880,7 +971,8 @@ def make_http_server(service: LiftingService, host: str = "127.0.0.1",
                         all_hypotheses=bool(req.get("all_hypotheses",
                                                     False)),
                         per_frame_noise=bool(req.get("per_frame_noise",
-                                                     False)))
+                                                     False)),
+                        op_point=req.get("op_point"))
                     sid = f"s{next(session_ids)}"
                     with sessions_lock:
                         sessions[sid] = [sess, time.time()]

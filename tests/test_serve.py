@@ -574,3 +574,89 @@ def test_mean_readback_streaming_and_health(service, mean_readback_service):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
     assert svc.health()["readback"] == "mean"
     assert service.health()["readback"] == "all"
+
+
+# ---------------------------------------------------------------------------
+# Multi-op-point tiers (one process, shared params, per-tier executables)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiered_service(service):
+    svc = serve.LiftingService(service.model, service.params,
+                               buckets=(1, 2),
+                               op_points=[(2, 2), "1x1"])
+    svc.warmup()
+    yield svc
+    svc.close()
+
+
+def test_op_point_normalization_and_validation(service, tiered_service):
+    assert tiered_service.op_points == ((2, 2), (1, 1))
+    assert tiered_service.default_op_point == (2, 2)
+    assert tiered_service.health()["op_points"] == ["2x2", "1x1"]
+    # single-tier service defaults to the model config's (P, T)
+    assert service.op_points == ((2, 2),)
+    with pytest.raises(ValueError, match="not served"):
+        tiered_service.lift(np.zeros((5, 134, 2), np.float32),
+                            op_point="3x1")
+    with pytest.raises(ValueError, match=">= 1"):
+        serve.LiftingService(service.model, service.params,
+                             op_points=[(0, 1)])
+
+
+def test_tier_matches_dedicated_service(service, tiered_service):
+    """A tier must produce exactly what a service configured with that
+    op-point alone produces (P/T call overrides == construction-time P/T),
+    and the default tier must match the plain single-tier service."""
+    import jax
+    from pafuse_tpu.diffusion import D3DP
+    rng = np.random.RandomState(11)
+    kps = rng.randn(12, 134, 2).astype(np.float32)
+
+    ref_default = service.lift(kps, seed=3)
+    got_default = tiered_service.lift(kps, seed=3)
+    np.testing.assert_allclose(got_default["poses"], ref_default["poses"],
+                               rtol=0, atol=1e-6)
+    assert got_default["num_hypotheses"] == 2
+
+    import dataclasses
+    cfg11 = dataclasses.replace(TINY, num_proposals=1, sampling_timesteps=1)
+    model11 = D3DP(cfg11)
+    svc11 = serve.LiftingService(model11, service.params, buckets=(1, 2))
+    ref_11 = svc11.lift(kps, seed=3)
+    got_11 = tiered_service.lift(kps, seed=3, op_point="1x1")
+    np.testing.assert_allclose(got_11["poses"], ref_11["poses"],
+                               rtol=0, atol=1e-6)
+    assert got_11["num_hypotheses"] == 1
+    svc11.close()
+    # the two tiers genuinely differ (different H/S universes)
+    assert np.abs(got_11["poses"] - got_default["poses"]).max() > 0
+
+
+def test_tiers_do_not_mix_under_concurrency(tiered_service):
+    """Concurrent requests at different tiers co-batch only within their
+    own tier and reproduce the sequential results exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+    rng = np.random.RandomState(12)
+    kps = [rng.randn(9, 134, 2).astype(np.float32) for _ in range(6)]
+    pts = [None, "1x1"] * 3
+    seq = [tiered_service.lift(k, seed=i, op_point=p)["poses"]
+           for i, (k, p) in enumerate(zip(kps, pts))]
+    with ThreadPoolExecutor(6) as ex:
+        conc = list(ex.map(
+            lambda t: tiered_service.lift(kps[t], seed=t,
+                                          op_point=pts[t])["poses"],
+            range(6)))
+    for s, c in zip(seq, conc):
+        np.testing.assert_allclose(c, s, rtol=0, atol=2e-5)
+
+
+def test_streaming_op_point(tiered_service):
+    rng = np.random.RandomState(13)
+    kps = rng.randn(3, 134, 2).astype(np.float32)
+    s = serve.StreamingSession(tiered_service, seed=5, op_point=(1, 1))
+    out = s.push(kps)
+    assert out["poses"].shape == (3, 134, 3)
+    assert out["num_hypotheses"] == 1
+    with pytest.raises(ValueError, match="not served"):
+        serve.StreamingSession(tiered_service, op_point="9x9")
