@@ -660,3 +660,23 @@ def test_streaming_op_point(tiered_service):
     assert out["num_hypotheses"] == 1
     with pytest.raises(ValueError, match="not served"):
         serve.StreamingSession(tiered_service, op_point="9x9")
+
+
+def test_fast_path_device_noise_mean_readback(service):
+    """The recommended production combination (serve.noise=device +
+    serve.readback=mean) must equal the device-noise service's host-side
+    hypothesis mean."""
+    svc_all = serve.LiftingService(service.model, service.params,
+                                   buckets=(1, 2), noise_mode="device")
+    svc_fast = serve.LiftingService(service.model, service.params,
+                                    buckets=(1, 2), noise_mode="device",
+                                    readback="mean")
+    rng = np.random.RandomState(21)
+    kps = rng.randn(12, 134, 2).astype(np.float32)
+    ref = svc_all.lift(kps, seed=4)["poses"]
+    got = svc_fast.lift(kps, seed=4)["poses"]
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+    assert svc_fast.health()["noise_mode"] == "device"
+    assert svc_fast.health()["readback"] == "mean"
+    svc_all.close()
+    svc_fast.close()
