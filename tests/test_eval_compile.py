@@ -41,18 +41,43 @@ def test_single_compilation_across_sequence_lengths():
     assert step._cache_size() == 1
 
     # a second call (another "action") with the same pin reuses the same
-    # jitted step: no new closure, no new compilation
+    # jitted step — no new closure.  Tail buckets (round 4,
+    # evaluate_sequences(tail_bucket=True)) dispatch each partial final
+    # batch on the {0.75*2^k, 2^k} rung ladder: the first call's 11-row
+    # tail rode the 12-row rung above; this call's 6 windows ride the
+    # 6-row rung — BOUNDED extra specializations, cached across actions,
+    # never per-sequence-length growth.
     acc2, _ = ev.evaluate_sequences(model, params, _seqs([12, 30], rng),
                                     _Args(), receptive_field=9,
                                     num_proposals=1, sampling_timesteps=1,
                                     window_batch=pin)
     assert acc2.n > 0
     assert model._eval_step_cache[(1, 1, True, False, None, False)] is step
-    assert step._cache_size() == 1
+    assert step._cache_size() == 2  # the 12-row rung + the 6-row rung
 
-    # without the pin, a single call still compiles exactly once (per-call
-    # power-of-two bucketing replaces per-sequence specialization)
+    # a third action whose tail lands on the SAME 6-row rung (5 pooled
+    # windows) adds nothing
+    ev.evaluate_sequences(model, params, _seqs([9, 33], rng), _Args(),
+                          receptive_field=9, num_proposals=1,
+                          sampling_timesteps=1, window_batch=pin)
+    assert step._cache_size() == 2
+
+    # tail_bucket=False restores strict single-shape dispatch: the full
+    # 16-row pin compiles once (nothing above rode it) and never again
+    ev.evaluate_sequences(model, params, _seqs([12, 30], rng), _Args(),
+                          receptive_field=9, num_proposals=1,
+                          sampling_timesteps=1, window_batch=pin,
+                          tail_bucket=False)
+    assert step._cache_size() == 3
+    ev.evaluate_sequences(model, params, _seqs([5, 15], rng), _Args(),
+                          receptive_field=9, num_proposals=1,
+                          sampling_timesteps=1, window_batch=pin,
+                          tail_bucket=False)
+    assert step._cache_size() == 3  # reused the full 16-row shape
+
+    # without the pin, a single call buckets per call (pow2 of its own
+    # pooled count) and its tail rides the same rung ladder: bounded
     ev.evaluate_sequences(model, params, _seqs([12, 30], rng), _Args(),
                           receptive_field=9, num_proposals=1,
                           sampling_timesteps=1)
-    assert step._cache_size() <= 2
+    assert step._cache_size() <= 4
