@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--readback", default="all", choices=("all", "mean"),
                     help="hypothesis readback: all (default) or mean "
                          "(on-device aggregation, H-fold less readback)")
+    ap.add_argument("--op-points", default=None,
+                    help="comma list of PxT tiers served by ONE service "
+                         "(first = default), e.g. 5x2,1x1; measures each "
+                         "tier's sequential latency plus a mixed "
+                         "--clients run split across tiers")
     ap.add_argument("--stream", action="store_true",
                     help="measure streaming sessions instead: per-frame "
                          "emit latency (1 stream) and aggregate emit rate "
@@ -161,6 +166,47 @@ def main():
             list(ex.map(one, range(a.requests)))
         dt = time.perf_counter() - t0
         return round(a.requests / dt, 2), lat
+
+    if a.op_points:
+        # multi-tier mode: ONE service, several (P, T) op-points over the
+        # same resident params; per-tier sequential latency + a mixed
+        # concurrent run with clients split round-robin across tiers
+        tiers = [t.strip() for t in a.op_points.split(",") if t.strip()]
+        svc = serve.LiftingService(model, params, buckets=buckets,
+                                   noise_mode=a.noise, readback=a.readback,
+                                   op_points=tiers)
+        t0 = time.time()
+        svc.warmup()
+        results["op_points"] = tiers
+        results["warmup_seconds"] = round(time.time() - t0, 1)
+        results["tier_sequential_ms"] = {}
+        for tier in tiers:
+            lat = []
+            for i in range(min(a.requests, 10)):
+                t1 = time.perf_counter()
+                svc.lift(kps, seed=i, op_point=tier)
+                lat.append((time.perf_counter() - t1) * 1e3)
+            results["tier_sequential_ms"][tier] = {
+                "p50": round(percentile(lat, 50), 1),
+                "p95": round(percentile(lat, 95), 1)}
+
+        lat_by_tier = {t: [] for t in tiers}
+
+        def one_mixed(i):
+            tier = tiers[i % len(tiers)]
+            t1 = time.perf_counter()
+            svc.lift(kps, seed=i, op_point=tier)
+            lat_by_tier[tier].append((time.perf_counter() - t1) * 1e3)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(a.clients) as ex:
+            list(ex.map(one_mixed, range(a.requests)))
+        dt = time.perf_counter() - t0
+        results["mixed_req_per_s"] = round(a.requests / dt, 2)
+        results["mixed_p50_ms"] = {
+            t: round(percentile(ls, 50), 1) for t, ls in lat_by_tier.items()}
+        svc.close()
+        print(json.dumps(results))
+        return
 
     for batching in (True, False):
         svc = serve.LiftingService(model, params, buckets=buckets,
