@@ -95,6 +95,10 @@ def parse_args(argv=None):
                    help="where --trials writes the envelope; also read at "
                         "verdict time to widen the per-metric budget by "
                         "2*sqrt(2)*sigma (the pre-registered decision rule)")
+    p.add_argument("--p2", action="store_true",
+                   help="also compute Protocol #2 (Procrustes) metrics and "
+                        "diff them against the reference log's 'Protocol #2 "
+                        "... action-wise average' lines (keys P2_*)")
     p.add_argument("--out", default="PARITY_REAL.md")
     # model shape overrides (defaults = flagship); lets tests exercise the
     # harness end-to-end with a tiny fabricated checkpoint
@@ -408,13 +412,17 @@ def main(argv=None):
                 # sequence_batches: P_Best picks its argmin hypothesis by
                 # BATCH-mean error, so batch composition must match the
                 # reference's per-sequence sub-batching for strict parity
-                acc, _ = ev.evaluate_sequences(
+                acc, p2_acc = ev.evaluate_sequences(
                     model, params, zip(cams, p3d, p2d), None,
                     rng=jax.random.PRNGKey(rng_seed),
                     receptive_field=a.frames, num_proposals=P,
                     sampling_timesteps=T, window_batch=pin,
-                    noise_table=noise, sequence_batches=True)
-                per_action[action_key] = acc.means_mm()
+                    noise_table=noise, sequence_batches=True,
+                    collect_p2=a.p2)
+                means = acc.means_mm()
+                if p2_acc is not None:
+                    means.update(p2_acc.means_mm())
+                per_action[action_key] = means
         keys = next(iter(per_action.values())).keys()
         avg = {k: float(np.atleast_1d(np.mean(
             [m[k] for m in per_action.values()], axis=0))[-1])

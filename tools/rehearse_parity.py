@@ -82,7 +82,8 @@ def fabricate_bin(bin_path: str, from_npz: str | None):
 
 
 def reference_eval(data_dir: str, ckpt_dir: str, bin_name: str,
-                   P: int, T: int, inject_noise: bool = True):
+                   P: int, T: int, inject_noise: bool = True,
+                   p2: bool = False):
     """Drive the reference's evaluate() per S8 action; emit its txt log +
     the averaged block (main_h3wb.py:1117-1359 flow, reference code called
     read-only).
@@ -119,7 +120,7 @@ def reference_eval(data_dir: str, ckpt_dir: str, bin_name: str,
         data=types.SimpleNamespace(num_kps=134, merge_hands=True),
         ft2d=types.SimpleNamespace(timestep=1000, scale=1.0,
                                    sampling_timesteps=T, num_proposals=P,
-                                   debug=False, p2=False),
+                                   debug=False, p2=p2),
     )
 
     dataset = Human3WBDataset(os.path.join(data_dir, "train_h3wb.npz"))
@@ -207,13 +208,37 @@ def reference_eval(data_dir: str, ckpt_dir: str, bin_name: str,
         print(f"reference eval {action_key}: {time.time() - t0:.1f}s")
         per_action.append([r.cpu() for r in res])
 
-    # action-wise average block, reference format (main_h3wb.py:1253-1340)
+    # action-wise average block, reference format (main_h3wb.py:1253-1375)
     import numpy as np
     stacked = [torch.stack([pa[i] for pa in per_action]).mean(dim=0).numpy()
                for i in range(len(per_action[0]))]
+    log_path = os.path.join(ckpt_dir, f"h36m_test_log_H{P}_K{T}.txt")
+    if p2:
+        # with ft2d.p2 the reference's evaluate() returns 9 values and LOSES
+        # the part-based breakdown (main_h3wb.py:526-528; its own driver then
+        # NameErrors on the part lists at 1191-1202 — unreachable path), so
+        # the averaged block is headline P1 + P_Best_PB + the Protocol #2
+        # lines in the driver's intended format (main_h3wb.py:1352-1375)
+        (e1, e1_h, e1_h_pb, e1_mean, e1_select,
+         e2, e2_h, e2_mean, e2_select) = stacked
+        with open(log_path, "a") as f:
+            for ii in range(len(np.atleast_1d(e1))):
+                def w(line):
+                    print(line)
+                    f.write(line + "\n")
+                g = lambda a: float(np.atleast_1d(a)[ii])  # noqa: E731
+                w('step %d Protocol #1   (MPJPE) action-wise average J_Best: %f mm' % (ii, g(e1)))
+                w('step %d Protocol #1   (MPJPE) action-wise average P_Best: %f mm' % (ii, g(e1_h)))
+                w('step %d Protocol #1   (MPJPE) action-wise average P_Agg: %f mm' % (ii, g(e1_mean)))
+                w('step %d Protocol #1   (MPJPE) action-wise average J_Agg: %f mm' % (ii, g(e1_select)))
+                w('step %d Protocol #1   (MPJPE) action-wise average P_Best (Part-Based): %f mm' % (ii, g(e1_h_pb)))
+                w('step %d Protocol #2   (MPJPE) action-wise average J_Best: %f mm' % (ii, g(e2)))
+                w('step %d Protocol #2   (MPJPE) action-wise average P_Best: %f mm' % (ii, g(e2_h)))
+                w('step %d Protocol #2   (MPJPE) action-wise average P_Agg: %f mm' % (ii, g(e2_mean)))
+                w('step %d Protocol #2   (MPJPE) action-wise average J_Agg: %f mm' % (ii, g(e2_select)))
+        return log_path
     (e1, e1_h, e1_h_pb, e1_mean, e1_select, e1_b, e1_f, e1_lh, e1_rh,
      a_pb, a_b, a_f, a_lh, a_rh) = stacked
-    log_path = os.path.join(ckpt_dir, f"h36m_test_log_H{P}_K{T}.txt")
     with open(log_path, "a") as f:
         for ii in range(len(np.atleast_1d(e1))):
             def w(line):
@@ -257,6 +282,14 @@ def main(argv=None):
                         "its own DDIM noise (what a real reference-log "
                         "comparison looks like; deltas then include "
                         "sampling variance)")
+    p.add_argument("--realistic", action="store_true",
+                   help="fabricate npz content from the synthetic-TRAINING "
+                        "distribution (smooth tracks + real cameras) so a "
+                        "trained --from-npz checkpoint evaluates at its real "
+                        "~40-60 mm operating regime instead of ~580 mm")
+    p.add_argument("--p2", action="store_true",
+                   help="enable Protocol #2 (Procrustes) on BOTH sides and "
+                        "include P2_* keys in the diff")
     a = p.parse_args(argv)
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -273,8 +306,11 @@ def main(argv=None):
     from test_real_format import _make_reference_npz
     # several S8 actions so the action-wise AVERAGING is exercised too
     _make_reference_npz(Path(data_dir), frames=a.frames_per_action,
-                        test_actions=("Posing 1", "Waiting 1", "Greeting 1"))
-    print(f"fabricated npz in {data_dir}")
+                        test_actions=("Posing 1", "Waiting 1", "Greeting 1"),
+                        realistic=a.realistic)
+    print(f"fabricated npz in {data_dir}"
+          + (" (realistic training-distribution content)" if a.realistic
+             else ""))
 
     t0 = time.time()
     bin_path = os.path.join(a.workdir, "pafuse_model.bin")
@@ -282,7 +318,7 @@ def main(argv=None):
 
     log_path = reference_eval(data_dir, a.workdir, "pafuse_model.bin",
                               a.proposals, a.steps,
-                              inject_noise=not a.free_noise)
+                              inject_noise=not a.free_noise, p2=a.p2)
     t_ref = time.time() - t0
     print(f"reference-side eval + conversion: {t_ref:.1f}s -> {log_path}")
 
@@ -295,7 +331,8 @@ def main(argv=None):
         "--budget-mm", str(a.budget_mm),
         "--reference-log", log_path,
         "--out", os.path.join(a.workdir, "PARITY_REAL.md")]
-        + ([] if a.free_noise else ["--inject-noise"]))
+        + ([] if a.free_noise else ["--inject-noise"])
+        + (["--p2"] if a.p2 else []))
     print(f"check_parity: rc={rc} in {time.time() - t0:.1f}s")
     return rc
 
