@@ -49,11 +49,13 @@ def measure_ours() -> float:
     env = os.environ.get("PAFUSE_BENCH_PALLAS", "")
     use = {"0": "false", "attn": "true", "block": "block",
            "block_t": "block_t", "layer": "layer"}.get(env, "auto")
+    from pafuse_tpu.ops.attention import (select_block_t_fn,
+                                          set_experimental_kernels)
     if use in ("block_t", "layer"):
-        # explicit A/B request for a retained negative-result variant — the
-        # env var IS the experimenter's opt-in (README "Support tiers")
-        os.environ["PAFUSE_EXPERIMENTAL_KERNELS"] = "1"
-    from pafuse_tpu.ops.attention import select_block_t_fn
+        # explicit A/B request for a retained negative-result variant —
+        # PAFUSE_BENCH_PALLAS IS the experimenter's opt-in (README "Support
+        # tiers"); enable process-locally instead of mutating the env
+        set_experimental_kernels(True)
     model = D3DP(cfg, compute_dtype=dtype,
                  attention_fn=select_attention_fn(use),
                  block_fn=select_block_fn(use),

@@ -27,10 +27,10 @@ def build_model_3dhp(args, *, is_train: bool, num_proposals: int = 1,
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
     from pafuse_tpu.ops.attention import (select_attention_fn, select_block_fn, select_block_t_fn, select_layer_fn)
 
-    if str(getattr(args.tpu, "experimental_kernels", False)).lower() in (
-            "true", "1", "on", "yes"):
-        import os
-        os.environ["PAFUSE_EXPERIMENTAL_KERNELS"] = "1"
+    from pafuse_tpu.ops.attention import set_experimental_kernels
+    set_experimental_kernels(
+        True if str(getattr(args.tpu, "experimental_kernels", False)
+                    ).lower() in ("true", "1", "on", "yes") else None)
     cfg = D3DPConfig(
         frames=args.model.number_of_frames,
         num_kps=sk.NUM_JOINTS_3DHP,

@@ -30,12 +30,14 @@ def build_model(args, *, is_train: bool, num_proposals: int = 1,
     from pafuse_tpu.diffusion import D3DP, D3DPConfig
     from pafuse_tpu.ops.attention import (select_attention_fn, select_block_fn, select_block_t_fn, select_layer_fn)
 
-    if str(getattr(args.tpu, "experimental_kernels", False)).lower() in (
-            "true", "1", "on", "yes"):
-        # one switch for every retained negative-result path (block_t /
-        # layer / heads policy / packed parts) — see README "Support tiers"
-        import os
-        os.environ["PAFUSE_EXPERIMENTAL_KERNELS"] = "1"
+    # one switch for every retained negative-result path (block_t / layer /
+    # heads policy / packed parts) — see README "Support tiers".  Process-
+    # local (not an env mutation): a later in-process build with the flag
+    # off goes back to deferring to the user's env var.
+    from pafuse_tpu.ops.attention import set_experimental_kernels
+    set_experimental_kernels(
+        True if str(getattr(args.tpu, "experimental_kernels", False)
+                    ).lower() in ("true", "1", "on", "yes") else None)
     # the reference raises for any other value (diffusionpose.py:150-155);
     # silently running MixSTE2 anyway would mask the config error
     if args.model.diff_model != "MixSTE2":

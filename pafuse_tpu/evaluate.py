@@ -228,9 +228,11 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     ``tail_bucket`` (default on) dispatches the final PARTIAL batch of each
     group at the smallest rung of a power-of-two-with-midpoints ladder
     (..., 16, 24, 32, 48, 64) >= its real row count instead of padding it
-    to the full ``bs`` rows.  Metrics are mask-invariant (padded rows
-    contribute zero to every hypothesis and the mean is rescaled by the
-    real-row count), so this is pure throughput: a 22-real-row tail pays
+    to the full ``bs`` rows.  Metrics are mask-invariant up to float
+    rounding (padded rows contribute zero to every hypothesis and the mean
+    is rescaled by the real-row count — but the smaller XLA batch shape may
+    reassociate reductions at ~1e-5 relative), so this is effectively pure
+    throughput: a 22-real-row tail pays
     for 24 rows of DDIM compute instead of 64.  Costs one extra jit
     specialization per distinct tail shape (<= 2*log2(bs) shapes, cached
     across actions via ``get_eval_step``); disable for single-shot

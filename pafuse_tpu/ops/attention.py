@@ -52,7 +52,23 @@ def _round_up(x: int, m: int) -> int:
 # (which sets the env var) or ``PAFUSE_EXPERIMENTAL_KERNELS=1`` directly.
 # ---------------------------------------------------------------------------
 
+#: process-local override of the experimental gate; None defers to the env
+#: var.  CLIs call set_experimental_kernels(True/None) per model build so a
+#: config flip is never sticky across in-process builds (an env mutation
+#: would be one-way), while a user-exported PAFUSE_EXPERIMENTAL_KERNELS=1
+#: still opts in regardless of config.
+_EXPERIMENTAL_OVERRIDE = None
+
+
+def set_experimental_kernels(enabled) -> None:
+    """True: enable for this process.  None: defer to the env var."""
+    global _EXPERIMENTAL_OVERRIDE
+    _EXPERIMENTAL_OVERRIDE = None if enabled is None else bool(enabled)
+
+
 def experimental_kernels_enabled() -> bool:
+    if _EXPERIMENTAL_OVERRIDE is not None:
+        return _EXPERIMENTAL_OVERRIDE
     import os
     return os.environ.get("PAFUSE_EXPERIMENTAL_KERNELS", "").lower() in (
         "1", "true", "on", "yes")

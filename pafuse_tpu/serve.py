@@ -97,10 +97,13 @@ class _DynamicBatcher:
                 svc.stats["batched_requests"] += len(batch)
                 # device occupancy under pipelining: count only the
                 # non-overlapped interval since the later of (this batch's
-                # dispatch, the previous batch's completion)
-                svc.stats["busy_seconds"] += now - max(
-                    t_disp, getattr(self, "_last_done", 0.0))
-            self._last_done = now
+                # dispatch, the previous completion ACROSS ALL TIERS — the
+                # completion watermark lives on the service, under its stats
+                # lock, so concurrent tier batchers never double-count the
+                # same device interval)
+                svc.stats["busy_seconds"] += max(
+                    0.0, now - max(t_disp, svc._last_done))
+                svc._last_done = max(svc._last_done, now)
             ofs = 0
             for arrs, f in batch:
                 w = arrs[0].shape[0]
@@ -279,6 +282,9 @@ class LiftingService:
         self.receptive_field = model.cfg.frames
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()
+        # completion watermark for busy_seconds interval-union accounting
+        # (shared across tier batchers and _device_run; under _stats_lock)
+        self._last_done = 0.0
         self.stats: Dict[str, float] = {
             "requests": 0, "frames": 0, "errors": 0,
             "batch_calls": 0, "batched_requests": 0,
@@ -411,25 +417,23 @@ class LiftingService:
         backend the per-shape compile latency overlaps instead of summing."""
         from concurrent.futures import ThreadPoolExecutor
         t0 = time.time()
-        with self._stats_lock:
-            busy0 = self.stats["busy_seconds"]
         rf, J = self.receptive_field, self.model.cfg.num_kps
 
         def one(task):
             b, pt = task
             x = np.zeros((b, rf, J, 2), np.float32)
             # straight to the device path: routing warmups through the
-            # dynamic batcher would coalesce them into ONE bucket shape
+            # dynamic batcher would coalesce them into ONE bucket shape.
+            # count_busy=False: startup compiles are not serving occupancy —
+            # and real requests served concurrently keep THEIR busy time
+            # (a snapshot-restore here would silently discard it)
             self._device_run(*self._request_arrays(x, x, seed=0,
                                                    op_point=pt),
-                             op_point=pt)
+                             op_point=pt, count_busy=False)
 
         tasks = [(b, pt) for b in self.buckets for pt in self.op_points]
         with ThreadPoolExecutor(len(tasks)) as ex:
             list(ex.map(one, tasks))
-        with self._stats_lock:
-            # startup compiles are not serving occupancy
-            self.stats["busy_seconds"] = busy0
         return time.time() - t0
 
     # -- request path ------------------------------------------------------
@@ -500,7 +504,8 @@ class LiftingService:
             np.ascontiguousarray(stepn_c.transpose(1, 0, 2, 3, 4, 5)),
             w2d_c, w2d_flip_c)
 
-    def _device_run(self, w2d, w2d_flip, *noise, op_point=None) -> np.ndarray:
+    def _device_run(self, w2d, w2d_flip, *noise, op_point=None,
+                    count_busy=True) -> np.ndarray:
         """Run window rows through the sampler in bucket-padded chunks:
         (W, rf, J, 2) -> (W, H, rf, J, 3) at the final DDIM step (the slice
         happens on device); one-deep pipeline so the host
@@ -517,8 +522,15 @@ class LiftingService:
         t0 = time.time()
         out = run_chunked_pipelined(call, (w2d, w2d_flip) + noise,
                                     bucket_for(w2d.shape[0], self.buckets))
-        with self._stats_lock:
-            self.stats["busy_seconds"] += time.time() - t0
+        if count_busy:
+            now = time.time()
+            with self._stats_lock:
+                # interval-union vs the shared completion watermark (see
+                # _DynamicBatcher._resolve): concurrent tiers never count
+                # the same device interval twice
+                self.stats["busy_seconds"] += max(
+                    0.0, now - max(t0, self._last_done))
+                self._last_done = max(self._last_done, now)
         return out
 
     def _device_dispatch(self, w2d, w2d_flip, *noise, op_point=None):

@@ -73,9 +73,11 @@ def test_eval_padding_invariance(tiny_setup):
 
 def test_eval_tail_bucket_invariance(tiny_setup):
     """The power-of-two tail bucket (final partial batch dispatched at a
-    smaller shape) must leave every metric bit-identical: padded rows are
-    masked to zero and the mean is rescaled by the real-row count, so batch
-    shape cannot leak into the numbers."""
+    smaller shape) must leave every metric mask-invariant UP TO FLOAT
+    ROUNDING: padded rows are masked to zero and the mean is rescaled by
+    the real-row count, so batch COMPOSITION cannot leak into the numbers —
+    but the smaller XLA batch shape may legitimately reassociate
+    reductions, hence rtol=1e-5 rather than exact equality."""
     model, state, tx, ds, kps = tiny_setup
     cams, p3, p2 = h3wb.fetch(["S8"], kps, ds)
     seqs = list(zip(cams, p3, p2))[:2]  # 10 windows -> batches [8, 2] at bs=8

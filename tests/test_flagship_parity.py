@@ -26,6 +26,7 @@ TIMESTEPS = 1000
 DEPTH = 8
 
 
+@pytest.mark.slow
 def test_flagship_full_sampler_parity():
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference unavailable")

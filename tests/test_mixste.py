@@ -187,6 +187,30 @@ def test_kernel_fns_decline_on_cpu(params, rng):
         del os.environ["PAFUSE_ATTN_POLICY"]
 
 
+def test_experimental_gate_not_sticky():
+    """The CLI gate is process-local and per-build: enabling it for one
+    model build must not leak into a later build with the flag off (the
+    round-4 env-var mutation was one-way); a user-exported env var still
+    opts in when the override defers (None)."""
+    import os
+    import pytest
+    from pafuse_tpu.ops import attention as att
+
+    assert "PAFUSE_EXPERIMENTAL_KERNELS" not in os.environ
+    try:
+        att.set_experimental_kernels(True)      # build A: flag on
+        assert att.experimental_kernels_enabled()
+        att.set_experimental_kernels(None)      # build B: flag off -> defer
+        assert not att.experimental_kernels_enabled()
+        with pytest.raises(ValueError, match="EXPERIMENTAL"):
+            att.select_layer_fn("layer")
+        os.environ["PAFUSE_EXPERIMENTAL_KERNELS"] = "1"
+        assert att.experimental_kernels_enabled()   # env opt-in still works
+    finally:
+        att.set_experimental_kernels(None)
+        os.environ.pop("PAFUSE_EXPERIMENTAL_KERNELS", None)
+
+
 # ---------------------------------------------------------------------------
 # Dropout (model.dropout / attn_drop — reference mixste.py:35,56-59,73)
 # ---------------------------------------------------------------------------

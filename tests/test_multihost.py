@@ -70,6 +70,7 @@ print(f"WORKER{proc_id} OK loss={loss_val:.6f}", flush=True)
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="linux-only")
+@pytest.mark.slow
 def test_two_process_hybrid_mesh_train_step(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

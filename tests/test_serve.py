@@ -662,6 +662,40 @@ def test_streaming_op_point(tiered_service):
         serve.StreamingSession(tiered_service, op_point="9x9")
 
 
+def test_mesh_tiered_and_streaming_match_single_device(service,
+                                                       tiered_service):
+    """Round-5 multi-chip surface: op-point tiers and streaming sessions
+    must behave identically when the service spans a multi-device mesh —
+    tiered lifts and per-frame streaming emits on the 8-device data mesh
+    equal the single-device tiered service's results (host-keyed per-window
+    noise makes results bucket/padding invariant, so the mesh's rounded-up
+    buckets cannot leak in)."""
+    import jax
+    from pafuse_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh((8,), ("data",), devices=jax.devices()[:8])
+    svc = serve.LiftingService(service.model, service.params,
+                               buckets=(2,), mesh=mesh,
+                               op_points=[(2, 2), "1x1"])
+    assert svc.health()["mesh_devices"] == 8
+    assert svc.health()["op_points"] == ["2x2", "1x1"]
+    rng = np.random.RandomState(31)
+    kps = rng.randn(12, 134, 2).astype(np.float32)
+    for pt in (None, "1x1"):
+        got = svc.lift(kps, seed=3, op_point=pt)
+        ref = tiered_service.lift(kps, seed=3, op_point=pt)
+        np.testing.assert_allclose(got["poses"], ref["poses"],
+                                   rtol=0, atol=2e-5, err_msg=str(pt))
+    # streaming over the mesh == single-device streaming, frame by frame
+    frames = rng.randn(4, 134, 2).astype(np.float32)
+    s_mesh = serve.StreamingSession(svc, seed=5, op_point=(1, 1))
+    s_one = serve.StreamingSession(tiered_service, seed=5, op_point=(1, 1))
+    for f in frames:
+        np.testing.assert_allclose(s_mesh.push(f)["poses"],
+                                   s_one.push(f)["poses"],
+                                   rtol=0, atol=2e-5)
+    svc.close()
+
+
 def test_fast_path_device_noise_mean_readback(service):
     """The recommended production combination (serve.noise=device +
     serve.readback=mean) must equal the device-noise service's host-side

@@ -122,6 +122,7 @@ def test_train_path_parity_tiny():
     _run_parity(frames=9, depth=1, timesteps=40, batch=4, atol_mm=0.05)
 
 
+@pytest.mark.slow
 def test_train_path_parity_flagship():
     """One full-scale shot: depth 8, flagship part widths, T=1000."""
     _run_parity(frames=27, depth=8, timesteps=1000, batch=1, atol_mm=0.5)

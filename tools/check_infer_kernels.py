@@ -174,7 +174,10 @@ def main():
     manifest = load_manifest()
     if args.status:
         ok = print_status(manifest, cases)
-        return 0 if ok else 1
+        # 0 = all measured + within threshold; 2 = manifest incomplete
+        # (rerun to continue); 1 = numeric FAIL — distinct so CI can tell
+        # "keep going" from "kernel numerics out of threshold"
+        return 0 if ok else (2 if ok is None else 1)
 
     from pafuse_tpu.utils.backend import enable_compilation_cache
     enable_compilation_cache()
@@ -205,7 +208,7 @@ def main():
               f"({time.time() - t0:.0f}s)", flush=True)
 
     ok = print_status(manifest, cases)
-    return 0 if ok else 1
+    return 0 if ok else (2 if ok is None else 1)
 
 
 if __name__ == "__main__":
