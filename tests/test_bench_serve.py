@@ -1,0 +1,77 @@
+"""tools/bench_serve.py modes at tiny scale on CPU: the paced real-time
+streaming envelope (round-5 VERDICT #4) and the two-class mixed-load probe
+(round-5 VERDICT #6) must run end to end and report the full percentile
+vocabulary (p50/p95/p99) plus sustained-rate fields."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+# each mode builds + warm-compiles its own service (~2-3 min on the CPU
+# backend); flagship-scale class -> full tier only
+pytestmark = pytest.mark.slow
+
+
+def _run(capsys, args):
+    import bench_serve
+    rc = bench_serve.main(args)
+    assert rc is None or rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_paced_stream_mode(capsys):
+    res = _run(capsys, ["--stream", "--paced", "20", "--duration", "1.5",
+                        "--clients", "2", "--buckets", "1,2,4"])
+    one = res["paced_1"]
+    for p in ("p50", "p95", "p99"):
+        assert p in one["emit_lag_ms"]
+    assert one["emits_per_s"] > 0
+    assert one["push_size_max"] >= one["push_size_p50"] >= 1
+    assert isinstance(one["realtime"], bool)
+    multi = res["paced_2"]
+    assert multi["emits_per_s_total"] > 0
+    assert "p99" in multi["emit_lag_ms"]
+
+
+def test_paced_emit_lag_exceeds_push_latency_floor(capsys):
+    """Emit lag is arrival-to-emit, so it must be >= the pure push latency
+    (a lag below the push round trip would mean the source clock is being
+    ignored)."""
+    res = _run(capsys, ["--stream", "--paced", "10", "--duration", "1",
+                        "--clients", "1", "--buckets", "1,2"])
+    assert res["paced_1"]["emit_lag_ms"]["p50"] > 0
+
+
+def test_mixed_load_mode(capsys):
+    res = _run(capsys, ["--op-points", "2x2,1x1", "--mixed-streams", "1",
+                        "--clients", "1", "--paced", "10",
+                        "--duration", "1.5", "--buckets", "1,2"])
+    ml = res["mixed_load"]
+    assert ml["batch_tier"] == "2x2" and ml["stream_tier"] == "1x1"
+    for p in ("p50", "p95", "p99"):
+        assert p in ml["batch_ms"] and p in ml["stream_emit_lag_ms"]
+    assert ml["batch_req_per_s"] > 0
+    assert ml["stream_emits_per_s_total"] > 0
+    assert isinstance(ml["stream_realtime"], bool)
+    # the per-tier sequential ladder still reports alongside the mixed run
+    assert set(res["tier_sequential_ms"]) == {"2x2", "1x1"}
+
+
+def test_live_demo_self_serve(tmp_path):
+    """tools/live_demo.py over the real HTTP surface (tiny model, short
+    paced run) — the on-chip 60s capstone uses the same script."""
+    import live_demo
+    out = tmp_path / "demo.json"
+    rc = live_demo.main(["--self-serve", "--fps", "8", "--duration", "1.5",
+                         "--out", str(out)])
+    data = json.loads(out.read_text())
+    assert data["frames_streamed"] == 12
+    assert data["session_frames_acked"] == 12
+    assert "p99" in data["emit_lag_ms"]
+    assert data["last_pose_shape"] == [134, 3]
+    assert rc in (0, 1)  # realtime bit depends on host speed

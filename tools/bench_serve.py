@@ -32,7 +32,49 @@ def percentile(xs, p):
     return xs[min(len(xs) - 1, int(round(p / 100 * (len(xs) - 1))))]
 
 
-def main():
+def pcts(xs, ndigits=1):
+    """p50/p95/p99 dict in ms for a latency list (already in ms)."""
+    return {f"p{p}": round(percentile(xs, p), ndigits)
+            for p in (50, 95, 99)}
+
+
+def run_paced_stream(serve_mod, svc, kps, fps, duration, seed=0,
+                     op_point=None):
+    """Drive one StreamingSession from a paced source at ``fps`` for
+    ``duration`` seconds.  The client loop is the natural one: push every
+    frame that has arrived since the last push returned (adaptive catch-up
+    batching — ``push`` accepts (F, J, 2), so falling behind batches
+    instead of queueing round trips).
+
+    Returns (emit_lags_ms, push_sizes, emits_per_s): ``emit_lags_ms[i]`` is
+    the wall time from frame i's ARRIVAL (source clock) to the push that
+    carried it returning — the end-to-end freshness a live consumer sees."""
+    import time as _t
+    import numpy as np
+    sess = serve_mod.StreamingSession(svc, seed=seed, op_point=op_point)
+    n_total = int(round(duration * fps))
+    t0 = _t.perf_counter()
+    arrivals = t0 + np.arange(n_total) / fps
+    nxt = 0
+    lags, sizes = [], []
+    while nxt < n_total:
+        now = _t.perf_counter()
+        avail = int(np.searchsorted(arrivals[nxt:], now, side="right"))
+        if avail == 0:
+            _t.sleep(max(0.0, arrivals[nxt] - now))
+            continue
+        frames = np.stack([kps[(nxt + i) % kps.shape[0]]
+                           for i in range(avail)])
+        sess.push(frames)
+        done = _t.perf_counter()
+        lags.extend((done - arrivals[nxt + i]) * 1e3 for i in range(avail))
+        sizes.append(avail)
+        nxt += avail
+    emits_per_s = n_total / (_t.perf_counter() - t0)
+    return lags, sizes, emits_per_s
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--flagship", action="store_true",
                     help="35M-param part-based model at the serving "
@@ -68,7 +110,25 @@ def main():
                     help="measure streaming sessions instead: per-frame "
                          "emit latency (1 stream) and aggregate emit rate "
                          "at --clients concurrent streams")
-    a = ap.parse_args()
+    ap.add_argument("--paced", type=float, default=0.0, metavar="FPS",
+                    help="with --stream: drive each session from a PACED "
+                         "source at FPS (e.g. 25); each push carries every "
+                         "frame that arrived since the last push returned "
+                         "(adaptive catch-up batching — the natural client "
+                         "loop).  Reports per-frame EMIT LAG percentiles "
+                         "(emit completion - frame arrival), sustained "
+                         "emits/s and push-size distribution")
+    ap.add_argument("--duration", type=float, default=10.0,
+                    help="paced/mixed measurement length in seconds")
+    ap.add_argument("--mixed-streams", type=int, default=0,
+                    help="with --op-points: run N paced streaming clients "
+                         "on the LAST tier concurrently with --clients "
+                         "batch-lift clients on the FIRST tier for "
+                         "--duration seconds; reports per-class "
+                         "p50/p95/p99 (the HOL-blocking probe: tiers "
+                         "never co-batch, so cross-tier interference is "
+                         "dispatch-thread head-of-line blocking)")
+    a = ap.parse_args(argv)
 
     import numpy as np
     import jax
@@ -114,15 +174,48 @@ def main():
         svc.warmup()
         results["warmup_seconds"] = round(time.time() - t0, 1)
 
+        if a.paced:
+            # paced real-time envelope: emit-lag distribution + whether the
+            # session sustains the source rate (single stream, then
+            # --clients concurrent streams)
+            results["paced_fps"] = a.paced
+            results["duration_s"] = a.duration
+            lags, sizes, eps = run_paced_stream(serve, svc, kps, a.paced,
+                                                a.duration, seed=0)
+            results["paced_1"] = {
+                "emit_lag_ms": pcts(lags),
+                "emits_per_s": round(eps, 2),
+                "push_size_p50": percentile(sizes, 50),
+                "push_size_max": max(sizes),
+                "realtime": eps >= 0.98 * a.paced and
+                percentile(sizes, 99) < a.paced,  # backlog bounded << 1 s
+            }
+            if a.clients > 1:
+                from concurrent.futures import ThreadPoolExecutor as _TPE
+                with _TPE(a.clients) as ex:
+                    outs = list(ex.map(
+                        lambda i: run_paced_stream(serve, svc, kps, a.paced,
+                                                   a.duration, seed=i),
+                        range(a.clients)))
+                all_lags = [x for o in outs for x in o[0]]
+                results[f"paced_{a.clients}"] = {
+                    "emit_lag_ms": pcts(all_lags),
+                    "emits_per_s_total": round(sum(o[2] for o in outs), 2),
+                    "push_size_max": max(max(o[1]) for o in outs),
+                    "realtime": all(
+                        o[2] >= 0.98 * a.paced for o in outs),
+                }
+            svc.close()
+            print(json.dumps(results))
+            return
+
         sess = serve.StreamingSession(svc, seed=0)
         lat = []
         for t in range(a.requests):
             t1 = time.perf_counter()
             sess.push(kps[t % frames])
             lat.append((time.perf_counter() - t1) * 1e3)
-        results["stream_frame_ms"] = {
-            "p50": round(percentile(lat, 50), 1),
-            "p95": round(percentile(lat, 95), 1)}
+        results["stream_frame_ms"] = pcts(lat)
         results["stream_emits_per_s_1"] = round(
             1e3 / (sum(lat) / len(lat)), 2)
 
@@ -186,9 +279,59 @@ def main():
                 t1 = time.perf_counter()
                 svc.lift(kps, seed=i, op_point=tier)
                 lat.append((time.perf_counter() - t1) * 1e3)
-            results["tier_sequential_ms"][tier] = {
-                "p50": round(percentile(lat, 50), 1),
-                "p95": round(percentile(lat, 95), 1)}
+            results["tier_sequential_ms"][tier] = pcts(lat)
+
+        if a.mixed_streams > 0:
+            # two-class mixed load (the OPERATIONS deployment story):
+            # --clients batch clients loop lifts on the FIRST tier while
+            # --mixed-streams paced streaming clients run on the LAST tier.
+            # Tiers never co-batch (different executables), so any
+            # cross-class latency inflation here is dispatch/device
+            # head-of-line blocking between tiers.
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+            import threading as _th
+            stop = _th.Event()
+            batch_lat = []
+            batch_done = [0]
+
+            def batch_client(i):
+                n = 0
+                while not stop.is_set():
+                    t1 = time.perf_counter()
+                    svc.lift(kps, seed=i * 1000 + n, op_point=tiers[0])
+                    batch_lat.append((time.perf_counter() - t1) * 1e3)
+                    n += 1
+                batch_done[0] += n
+
+            fps = a.paced or 25.0
+            t0 = time.perf_counter()
+            with _TPE(a.clients + a.mixed_streams) as ex:
+                stream_futs = [
+                    ex.submit(run_paced_stream, serve, svc, kps, fps,
+                              a.duration, seed=100 + i,
+                              op_point=tiers[-1])
+                    for i in range(a.mixed_streams)]
+                batch_futs = [ex.submit(batch_client, i)
+                              for i in range(a.clients)]
+                stream_outs = [f.result() for f in stream_futs]
+                stop.set()
+                for f in batch_futs:
+                    f.result()
+            dt = time.perf_counter() - t0
+            all_lags = [x for o in stream_outs for x in o[0]]
+            results["mixed_load"] = {
+                "batch_tier": tiers[0], "stream_tier": tiers[-1],
+                "batch_clients": a.clients,
+                "stream_clients": a.mixed_streams,
+                "paced_fps": fps, "duration_s": round(dt, 1),
+                "batch_ms": pcts(batch_lat),
+                "batch_req_per_s": round(len(batch_lat) / dt, 2),
+                "stream_emit_lag_ms": pcts(all_lags),
+                "stream_emits_per_s_total": round(
+                    sum(o[2] for o in stream_outs), 2),
+                "stream_realtime": all(
+                    o[2] >= 0.98 * fps for o in stream_outs),
+            }
 
         lat_by_tier = {t: [] for t in tiers}
 
@@ -228,11 +371,10 @@ def main():
                     t1 = time.perf_counter()
                     svc.lift(req_kps, seed=i)
                     lat.append((time.perf_counter() - t1) * 1e3)
-                results["sequential_ms"][str(size)] = {
-                    "p50": round(percentile(lat, 50), 1),
-                    "p95": round(percentile(lat, 95), 1),
-                    "frames_per_s": round(
-                        size * 1e3 / (sum(lat) / len(lat)), 1)}
+                results["sequential_ms"][str(size)] = dict(
+                    pcts(lat),
+                    frames_per_s=round(size * 1e3 / (sum(lat) / len(lat)),
+                                       1))
 
             # concurrency sweep (co-batching on): throughput AND
             # per-request latency percentiles per level
@@ -243,7 +385,8 @@ def main():
                 results["batched_sweep"][str(n_clients)] = {
                     "req_per_s": rps,
                     "p50_ms": round(percentile(lat, 50), 1),
-                    "p95_ms": round(percentile(lat, 95), 1)}
+                    "p95_ms": round(percentile(lat, 95), 1),
+                    "p99_ms": round(percentile(lat, 99), 1)}
             results["batched_req_per_s"] = (
                 results["batched_sweep"][str(a.clients)]["req_per_s"]
                 if str(a.clients) in results["batched_sweep"]

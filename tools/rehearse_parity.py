@@ -290,6 +290,16 @@ def main(argv=None):
     p.add_argument("--p2", action="store_true",
                    help="enable Protocol #2 (Procrustes) on BOTH sides and "
                         "include P2_* keys in the diff")
+    p.add_argument("--fabricate-only", action="store_true",
+                   help="stage control: write the npz + .bin and exit "
+                        "(lets a chip-side check_parity --trials run start "
+                        "while the CPU torch eval churns elsewhere)")
+    p.add_argument("--ref-only", action="store_true",
+                   help="stage control: fabricate (idempotent) + run the "
+                        "reference-side eval to its txt log, skip the "
+                        "final check_parity (run it separately on chip: "
+                        "a P>=10 flagship eval is hours on one CPU core, "
+                        "minutes on chip)")
     a = p.parse_args(argv)
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -315,12 +325,24 @@ def main(argv=None):
     t0 = time.time()
     bin_path = os.path.join(a.workdir, "pafuse_model.bin")
     fabricate_bin(bin_path, a.from_npz or None)
+    if a.fabricate_only:
+        print("fabricate-only: done")
+        return 0
 
+    # a leftover log would be appended to (reference format) — start fresh
+    stale = os.path.join(a.workdir,
+                         f"h36m_test_log_H{a.proposals}_K{a.steps}.txt")
+    if os.path.exists(stale):
+        os.remove(stale)
     log_path = reference_eval(data_dir, a.workdir, "pafuse_model.bin",
                               a.proposals, a.steps,
                               inject_noise=not a.free_noise, p2=a.p2)
     t_ref = time.time() - t0
     print(f"reference-side eval + conversion: {t_ref:.1f}s -> {log_path}")
+    if a.ref_only:
+        print("ref-only: skipping check_parity (run it on chip against "
+              f"{log_path})")
+        return 0
 
     import check_parity
     t0 = time.time()
