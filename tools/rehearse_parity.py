@@ -270,6 +270,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="/tmp/parity_rehearsal")
     p.add_argument("--frames-per-action", type=int, default=54)
+    p.add_argument("--actions", type=int, default=3, choices=(2, 3),
+                   help="number of fabricated S8 test actions (2 keeps the "
+                        "action-wise averaging + stitching + sub-batching "
+                        "coverage at ~2/3 the reference-side CPU cost)")
     p.add_argument("--from-npz", default="",
                    help="convert this trained .npz into the fabricated .bin "
                         "(recommended; random weights are noise-sensitive)")
@@ -315,9 +319,9 @@ def main(argv=None):
     from pathlib import Path
     from test_real_format import _make_reference_npz
     # several S8 actions so the action-wise AVERAGING is exercised too
+    acts = ("Posing 1", "Waiting 1", "Greeting 1")[:a.actions]
     _make_reference_npz(Path(data_dir), frames=a.frames_per_action,
-                        test_actions=("Posing 1", "Waiting 1", "Greeting 1"),
-                        realistic=a.realistic)
+                        test_actions=acts, realistic=a.realistic)
     print(f"fabricated npz in {data_dir}"
           + (" (realistic training-distribution content)" if a.realistic
              else ""))
