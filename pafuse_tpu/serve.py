@@ -209,7 +209,12 @@ class LiftingService:
     params: model parameter pytree (moved to device on first use).
     buckets: window-batch sizes to compile; requests pad up to the nearest.
         The power-of-two default caps pad-up waste at 2x; each bucket costs
-        one warm compile at startup (cached across restarts).
+        one warm compile at startup.  The persistent XLA cache skips the
+        recompile on restart, but through a tunneled backend start-to-ready
+        stays dominated by per-executable remote load + first dispatch
+        (measured: 517 s cold vs 454 s warm-cache for the 10-executable
+        production config — RESTART_TIMING.json); keep the service
+        resident, and trim buckets/op_points when restart time matters.
     mesh: optional ``jax.sharding.Mesh`` — window batches shard over its
         ``data`` axis (params replicated), so one service spans a pod slice;
         buckets round up to device-count multiples.

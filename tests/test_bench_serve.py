@@ -27,13 +27,13 @@ def _run(capsys, args):
 def test_paced_stream_mode(capsys):
     res = _run(capsys, ["--stream", "--paced", "20", "--duration", "1.5",
                         "--clients", "2", "--buckets", "1,2,4"])
-    one = res["paced_1"]
+    one = res["paced_1_default"]
     for p in ("p50", "p95", "p99"):
         assert p in one["emit_lag_ms"]
     assert one["emits_per_s"] > 0
     assert one["push_size_max"] >= one["push_size_p50"] >= 1
     assert isinstance(one["realtime"], bool)
-    multi = res["paced_2"]
+    multi = res["paced_2_default"]
     assert multi["emits_per_s_total"] > 0
     assert "p99" in multi["emit_lag_ms"]
 
@@ -44,7 +44,7 @@ def test_paced_emit_lag_exceeds_push_latency_floor(capsys):
     ignored)."""
     res = _run(capsys, ["--stream", "--paced", "10", "--duration", "1",
                         "--clients", "1", "--buckets", "1,2"])
-    assert res["paced_1"]["emit_lag_ms"]["p50"] > 0
+    assert res["paced_1_default"]["emit_lag_ms"]["p50"] > 0
 
 
 def test_mixed_load_mode(capsys):

@@ -167,44 +167,53 @@ def main(argv=None):
         # streaming: per-frame causal emits; co-batching across streams is
         # the scaling story, so buckets should cover 1..clients rows
         from concurrent.futures import ThreadPoolExecutor
+        tiers = ([t.strip() for t in a.op_points.split(",") if t.strip()]
+                 if a.op_points else None)
         svc = serve.LiftingService(model, params, buckets=buckets,
                                    dynamic_batching=True,
-                                   noise_mode=a.noise, readback=a.readback)
+                                   noise_mode=a.noise, readback=a.readback,
+                                   op_points=tiers)
         t0 = time.time()
         svc.warmup()
         results["warmup_seconds"] = round(time.time() - t0, 1)
 
         if a.paced:
-            # paced real-time envelope: emit-lag distribution + whether the
-            # session sustains the source rate (single stream, then
+            # paced real-time envelope PER TIER: emit-lag distribution +
+            # whether the session sustains the source rate with the
+            # catch-up-batching client loop (single stream, then
             # --clients concurrent streams)
             results["paced_fps"] = a.paced
             results["duration_s"] = a.duration
-            lags, sizes, eps = run_paced_stream(serve, svc, kps, a.paced,
-                                                a.duration, seed=0)
-            results["paced_1"] = {
-                "emit_lag_ms": pcts(lags),
-                "emits_per_s": round(eps, 2),
-                "push_size_p50": percentile(sizes, 50),
-                "push_size_max": max(sizes),
-                "realtime": eps >= 0.98 * a.paced and
-                percentile(sizes, 99) < a.paced,  # backlog bounded << 1 s
-            }
-            if a.clients > 1:
-                from concurrent.futures import ThreadPoolExecutor as _TPE
-                with _TPE(a.clients) as ex:
-                    outs = list(ex.map(
-                        lambda i: run_paced_stream(serve, svc, kps, a.paced,
-                                                   a.duration, seed=i),
-                        range(a.clients)))
-                all_lags = [x for o in outs for x in o[0]]
-                results[f"paced_{a.clients}"] = {
-                    "emit_lag_ms": pcts(all_lags),
-                    "emits_per_s_total": round(sum(o[2] for o in outs), 2),
-                    "push_size_max": max(max(o[1]) for o in outs),
-                    "realtime": all(
-                        o[2] >= 0.98 * a.paced for o in outs),
+            for tier in (tiers or [None]):
+                key = tier or "default"
+                lags, sizes, eps = run_paced_stream(
+                    serve, svc, kps, a.paced, a.duration, seed=0,
+                    op_point=tier)
+                results[f"paced_1_{key}"] = {
+                    "emit_lag_ms": pcts(lags),
+                    "emits_per_s": round(eps, 2),
+                    "push_size_p50": percentile(sizes, 50),
+                    "push_size_max": max(sizes),
+                    "realtime": eps >= 0.98 * a.paced and
+                    percentile(sizes, 99) < a.paced,  # backlog << 1 s
                 }
+                if a.clients > 1:
+                    from concurrent.futures import ThreadPoolExecutor as _T
+                    with _T(a.clients) as ex:
+                        outs = list(ex.map(
+                            lambda i: run_paced_stream(
+                                serve, svc, kps, a.paced, a.duration,
+                                seed=i, op_point=tier),
+                            range(a.clients)))
+                    all_lags = [x for o in outs for x in o[0]]
+                    results[f"paced_{a.clients}_{key}"] = {
+                        "emit_lag_ms": pcts(all_lags),
+                        "emits_per_s_total": round(
+                            sum(o[2] for o in outs), 2),
+                        "push_size_max": max(max(o[1]) for o in outs),
+                        "realtime": all(
+                            o[2] >= 0.98 * a.paced for o in outs),
+                    }
             svc.close()
             print(json.dumps(results))
             return
