@@ -146,7 +146,10 @@ def main(argv=None):
                 chk_path, params, part_based=args.general.part_based_model)
         else:
             restored = checkpoints.load_state(chk_path, params)
-        params = restored["params"]
+        from pafuse_tpu.utils.backend import commit_params
+        # loaders return host numpy; commit once so the per-window-batch
+        # jitted sampler doesn't re-transfer the full tree every call
+        params = commit_params(restored["params"])
 
     json_path = os.path.join(dir_name, f"{basename}.openpifpaf.json")
     keypoints = load_openpifpaf_keypoints(json_path, args.data.num_kps)

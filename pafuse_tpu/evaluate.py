@@ -244,7 +244,12 @@ def evaluate_sequences(model: D3DP, params, sequences, cfg, *,
     gap.  Dispatch is asynchronous, so device wait shows up in ``drain``.
     """
     import time as _time
+    from pafuse_tpu.utils.backend import commit_params
     part_based = model.cfg.part_based
+    # checkpoint loaders return host-numpy trees; commit ONCE so the
+    # per-batch jitted calls don't re-transfer every leaf (through a
+    # tunneled backend: ~140 MB/call for the flagship — measured round 5)
+    params = commit_params(params, mesh)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     step = get_eval_step(model, num_proposals, sampling_timesteps,
                          part_based=part_based,

@@ -283,7 +283,12 @@ class LiftingService:
         if not self.buckets or min(self.buckets) < 1:
             raise ValueError(f"invalid buckets {buckets!r}")
         self.model = model
-        self.params = params
+        # resident params FOR REAL: checkpoint loaders return host numpy
+        # trees, and a numpy pytree re-transfers on every jitted call —
+        # measured 6.4 s per 27-frame lift through the tunneled backend
+        # vs 34 ms resident (round-5 live-demo wedge).  Commit once here.
+        from pafuse_tpu.utils.backend import commit_params
+        self.params = commit_params(params, mesh)
         self.receptive_field = model.cfg.frames
         self._lock = threading.Lock()
         self._stats_lock = threading.Lock()

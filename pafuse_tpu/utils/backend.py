@@ -29,6 +29,25 @@ def enable_compilation_cache(path: str | None = None):
         pass
 
 
+def commit_params(tree, mesh=None):
+    """Device-commit a (possibly host-numpy) parameter pytree ONCE.
+
+    Checkpoint loaders (``checkpoints.load_state`` /
+    ``load_torch_checkpoint``) return host numpy trees; feeding those
+    into a jitted call re-transfers EVERY leaf on EVERY call — through a
+    tunneled backend that turned a 34 ms serving lift into 6.4 s
+    (measured round 5, the live-demo wedge).  ``jax.device_put`` with
+    the replicated sharding under a mesh (default placement otherwise)
+    makes the transfer happen exactly once; already-committed arrays
+    pass through free.
+    """
+    import jax
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from pafuse_tpu.parallel.mesh import replicated
+        return jax.device_put(tree, replicated(mesh))
+    return jax.device_put(tree)
+
+
 def ensure_backend():
     """Return jax.devices(), falling back to auto platform selection."""
     import jax

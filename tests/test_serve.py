@@ -714,3 +714,26 @@ def test_fast_path_device_noise_mean_readback(service):
     assert svc_fast.health()["readback"] == "mean"
     svc_all.close()
     svc_fast.close()
+
+
+def test_params_are_device_committed_from_numpy(service):
+    """Checkpoint loaders hand back host-numpy trees; a numpy pytree fed
+    to a jitted sampler re-transfers EVERY leaf on EVERY call (measured
+    6.4 s per 27-frame lift through the tunneled backend, round-5
+    live-demo wedge).  The service must commit params to the device once
+    at construction — and produce identical results from numpy input."""
+    import numpy as np
+    import jax
+    np_params = jax.tree.map(lambda a: np.asarray(a), service.params)
+    assert all(isinstance(leaf, np.ndarray)
+               for leaf in jax.tree.leaves(np_params))
+    svc2 = serve.LiftingService(service.model, np_params, buckets=(1, 2))
+    try:
+        assert all(isinstance(leaf, jax.Array)
+                   for leaf in jax.tree.leaves(svc2.params))
+        kps = np.random.RandomState(3).rand(5, 134, 2).astype(np.float32)
+        a = service.lift(kps, seed=7)["poses"]
+        b = svc2.lift(kps, seed=7)["poses"]
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    finally:
+        svc2.close()
