@@ -206,7 +206,8 @@ class LiftingService:
     ----------
     model: diffusion.D3DP (eval mode; P/T fixed at construction — they are
         compile-time constants of the sampler).
-    params: model parameter pytree (moved to device on first use).
+    params: model parameter pytree (device-committed at construction —
+        host-numpy trees from the checkpoint loaders included).
     buckets: window-batch sizes to compile; requests pad up to the nearest.
         The power-of-two default caps pad-up waste at 2x; each bucket costs
         one warm compile at startup.  The persistent XLA cache skips the
