@@ -325,3 +325,43 @@ def test_actionwise_average_format_matches_reference():
     expected_hands = (vals["P_Best_PB_left_hand"][1]
                       + vals["P_Best_PB_right_hand"][1]) / 2.
     assert abs(parsed["P_Best_PB_hands"] - expected_hands) < 1e-4
+
+
+def test_in_the_wild_cli_with_checkpoint(tmp_path, monkeypatch):
+    """The checkpoint-loading branch must run the full pipeline from a
+    saved .npz — and route the host-numpy restored params through
+    commit_params (jax.Array leaves), the round-5 resident-params fix."""
+    import json
+    import jax
+    from pafuse_tpu import checkpoints, config as cfg_mod
+    from pafuse_tpu.cli.main_h3wb import build_model
+
+    overrides = [
+        "model.number_of_frames=9", "model.dep=1", "model.batch_size=36",
+        "ft2d.timestep=20", "ft2d.sampling_timesteps=1",
+        "ft2d.num_proposals=2", "viz.viz_limit=0",
+    ]
+    args = cfg_mod.parse_cli(overrides)
+    model = build_model(args, is_train=False, num_proposals=2,
+                        sampling_timesteps=1)
+    params = model.init_params(jax.random.PRNGKey(1))
+    checkpoints.save_state(str(tmp_path / "ckpt"), "tiny", params=params)
+
+    rng = np.random.RandomState(0)
+    lines = []
+    for _ in range(12):
+        kp = np.column_stack([rng.uniform(100, 900, 133),
+                              rng.uniform(100, 900, 133),
+                              np.full(133, 0.9)]).ravel().tolist()
+        lines.append(json.dumps({"predictions": [{"keypoints": kp}]}))
+    (tmp_path / "vid.mp4.openpifpaf.json").write_text("\n".join(lines))
+
+    monkeypatch.chdir(tmp_path)
+    from pafuse_tpu.cli import in_the_wild
+    in_the_wild.main([
+        f"in_the_wild.video_path={tmp_path}/vid.mp4",
+        f"general.checkpoint={tmp_path}/ckpt",
+        "general.evaluate=tiny.npz",
+    ] + overrides)
+    out = tmp_path / "outputs" / "vid"
+    assert (out / "test_3d_vid_output.npy").exists()
