@@ -168,12 +168,16 @@ def main(argv=None):
             chk_path, state.params, part_based=False)
             if chk_path.endswith(".bin") else
             checkpoints.load_state(chk_path, state.params, state.opt_state))
-        state = state._replace(params=restored["params"])
+        # device-commit the host-numpy restored trees (round-5 fix: a
+        # numpy pytree re-transfers on every jitted call)
+        from pafuse_tpu.utils.backend import commit_params
+        state = state._replace(params=commit_params(restored["params"]))
         if args.general.resume:
             epoch = restored.get("epoch", 0)
             lr = restored.get("lr", lr)
             if "opt_state" in restored:
-                state = state._replace(opt_state=restored["opt_state"])
+                state = state._replace(opt_state=commit_params(
+                    restored["opt_state"]))
 
     if not args.general.evaluate:
         p3, p2 = dhp3.train_arrays(train_data)

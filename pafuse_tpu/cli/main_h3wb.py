@@ -208,13 +208,19 @@ def _run(args, mlflow_on: bool = False):
         else:
             restored = checkpoints.load_state(chk_path, state.params,
                                               state.opt_state)
-        state = state._replace(params=restored["params"])
+        # loaders return host-numpy trees; commit to device (replicated
+        # under the mesh) so neither the first donated train step nor the
+        # eval path re-ships the full state per call (round-5 fix)
+        from pafuse_tpu.utils.backend import commit_params
+        state = state._replace(params=commit_params(restored["params"],
+                                                    mesh))
         if args.general.resume:
             epoch = restored.get("epoch", 0)
             if not args.model.coverlr:
                 lr = restored.get("lr", lr)
             if "opt_state" in restored:
-                state = state._replace(opt_state=restored["opt_state"])
+                state = state._replace(opt_state=commit_params(
+                    restored["opt_state"], mesh))
             resume_ckpt = restored
         print(f"This model was trained for {restored.get('epoch', 0)} epochs")
 
